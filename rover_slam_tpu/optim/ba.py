@@ -69,11 +69,26 @@ def _edge_terms(cam_kind, prob: BAProblem, R, t, X):
     return e, Jc, Jl, Xc[..., 2]
 
 
-@functools.partial(jax.jit, static_argnames=("cam_kind", "iters", "cg_iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("cam_kind", "iters", "cg_iters", "phases",
+                                    "solver"))
 def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
              iters: int = 10, cg_iters: int = 20,
              chi2_th: float = robust.CHI2_MONO,
-             lam0: float = 1e-4) -> BAResult:
+             lam0: float = 1e-4, phases: int = 2,
+             solver: str = "schur") -> BAResult:
+    """`phases` > 1 reproduces the reference's two-phase local BA: optimize,
+    hard-drop chi2 outlier edges, re-optimize (src/Optimizer.cc:2055-2130).
+
+    solver:
+      "schur" — exact landmark elimination with a dense [6Kw,6Kw] reduced camera
+        solve (the g2o BlockSolver_6_3 equivalent). Materializes a [Lw,Kw,6,3]
+        cross tensor: right for local windows (Kw <= ~64); exact solves matter in
+        low-parallax geometry where block-Jacobi PCG stalls on the
+        translation-vs-structure mode.
+      "pcg" — matrix-free block-Jacobi PCG; O(E) memory, shards over edges
+        (the global/distributed path).
+    """
     Kw = prob.R_cw.shape[0]
     Lw = prob.lm_pos.shape[0]
     pmask = prob.pose_opt_mask.astype(jnp.float32)[:, None]      # [Kw,1]
@@ -106,10 +121,7 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         dc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)               # [Kw,6]
         dl = jnp.diagonal(Hll, axis1=-2, axis2=-1)               # [Lw,3]
 
-        Hcc_d = Hcc + (lam * dc + 1e-8)[:, :, None] * jnp.eye(6)[None] \
-            if False else Hcc + jnp.eye(6)[None] * (lam * dc[:, :, None] * 0 + lam * jnp.maximum(dc, 1e-6)[..., None] * jnp.eye(6)[None])
-        # (expanded below for clarity)
-
+        # LM damping: additive lam * diag(H) per block.
         Hcc_d = Hcc + jax.vmap(jnp.diag)(lam * jnp.maximum(dc, 1e-6))
         Hll_d = Hll + jax.vmap(jnp.diag)(lam * jnp.maximum(dl, 1e-6))
         # Fixed variables: make their blocks identity so PCG leaves them at 0.
@@ -134,8 +146,26 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
             return (jnp.einsum("kij,kj->ki", Pc, r_c) * pmask,
                     jnp.einsum("lij,lj->li", Pl, r_l) * lmask)
 
-        # PCG for (H + lam D) dx = -g
         b_c, b_l = -g_c, -g_l
+
+        def schur_solve():
+            """Exact: eliminate landmarks, dense reduced camera system."""
+            # Cross blocks W[l,k] = sum_e Jc^T w Jl for edges (k,l). [Lw,Kw,6,3]
+            Wt = jnp.zeros((Lw, Kw, 6, 3)).at[prob.e_lm, prob.e_kf].add(
+                jnp.einsum("eki,e,ekj->eij", Jc, w, Jl))
+            Wt = Wt * pmask[None, :, :, None] * lmask[:, None, :, None]
+            Hll_inv = Pl  # already damped+masked inverse of landmark blocks
+            # S = Hcc_d - sum_l W_l Hll_inv W_l^T  (dense [Kw,6,Kw,6])
+            S = -jnp.einsum("lkab,lbc,lqdc->kaqd", Wt, Hll_inv, Wt)
+            S = S.at[jnp.arange(Kw), :, jnp.arange(Kw), :].add(Hcc_d)
+            rhs = b_c - jnp.einsum("lkab,lbc,lc->ka", Wt, Hll_inv, b_l)
+            n = 6 * Kw
+            Sm = S.reshape(n, n) + 1e-8 * jnp.eye(n)
+            dx_c = jnp.linalg.solve(Sm, rhs.reshape(n)).reshape(Kw, 6) * pmask
+            dx_l = jnp.einsum("lbc,lc->lb",
+                              Hll_inv,
+                              b_l - jnp.einsum("lkab,ka->lb", Wt, dx_c)) * lmask
+            return dx_c, dx_l
 
         def cg_body(carry, _):
             x_c, x_l, r_c, r_l, p_c, p_l, rz = carry
@@ -153,16 +183,24 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
             p_l = z_l + beta * p_l
             return (x_c, x_l, r_c, r_l, p_c, p_l, rz_new), None
 
-        z0_c, z0_l = precond(b_c, b_l)
-        rz0 = jnp.sum(b_c * z0_c) + jnp.sum(b_l * z0_l)
-        cg0 = (jnp.zeros_like(b_c), jnp.zeros_like(b_l), b_c, b_l, z0_c, z0_l, rz0)
-        (dx_c, dx_l, *_), _ = jax.lax.scan(cg_body, cg0, None, length=cg_iters)
+        if solver == "schur":
+            dx_c, dx_l = schur_solve()
+        else:
+            z0_c, z0_l = precond(b_c, b_l)
+            rz0 = jnp.sum(b_c * z0_c) + jnp.sum(b_l * z0_l)
+            cg0 = (jnp.zeros_like(b_c), jnp.zeros_like(b_l), b_c, b_l,
+                   z0_c, z0_l, rz0)
+            (dx_c, dx_l, *_), _ = jax.lax.scan(cg_body, cg0, None,
+                                               length=cg_iters)
 
         # Apply update (left-multiplicative pose perturbation).
         dR, dt = lie.se3_exp(dx_c)
         R_new = lie.normalize_rotation(jnp.einsum("kij,kjl->kil", dR, R))
         t_new = jnp.einsum("kij,kj->ki", dR, t) + dt
-        X_new = X + dx_l
+        # Keep fixed variables bit-exact (SVD renormalization would jitter them).
+        R_new = jnp.where(pmask[:, :, None] > 0, R_new, R)
+        t_new = jnp.where(pmask > 0, t_new, t)
+        X_new = jnp.where(lmask > 0, X + dx_l, X)
 
         e_new, _, _, d_new = _edge_terms(cam_kind, prob, R_new, t_new, X_new)
         chi2_new = jnp.sum(e_new * e_new, axis=-1) * prob.e_info
@@ -176,8 +214,19 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4)
         return (R, t, X, lam, jnp.where(improved, cost_new, cost_old)), cost_old
 
-    init = (prob.R_cw, prob.t_cw, prob.lm_pos, jnp.float32(lam0), jnp.float32(jnp.inf))
-    (R, t, X, _, _), costs = jax.lax.scan(lm_step, init, None, length=iters)
+    R, t, X = prob.R_cw, prob.t_cw, prob.lm_pos
+    cost_list = []
+    for phase in range(phases):
+        init = (R, t, X, jnp.float32(lam0), jnp.float32(jnp.inf))
+        (R, t, X, _, _), costs = jax.lax.scan(lm_step, init, None, length=iters)
+        cost_list.append(costs)
+        if phase < phases - 1:
+            # Hard-drop outlier edges for the next phase.
+            e_p, _, _, depth_p = _edge_terms(cam_kind, prob, R, t, X)
+            chi2_p = jnp.sum(e_p * e_p, axis=-1) * prob.e_info
+            keep = (chi2_p <= chi2_th) & (depth_p > 0)
+            prob = prob._replace(e_valid=prob.e_valid & keep)
+    costs = jnp.concatenate(cost_list)
 
     e, _, _, depth = _edge_terms(cam_kind, prob, R, t, X)
     chi2 = jnp.sum(e * e, axis=-1) * prob.e_info
