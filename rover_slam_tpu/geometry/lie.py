@@ -68,7 +68,11 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Logarithm map [..., 3, 3] -> [..., 3]. Accurate up to theta < pi - eps."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # Clip strictly inside (-1, 1): d(arccos) is infinite at the endpoints and
+    # would poison autodiff (jacfwd through pose-graph residuals at identity).
+    # Values are unaffected: both endpoints are handled by dedicated branches
+    # whose formulas do not use theta's exact endpoint value.
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
     w_skew = so3_vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
     sin_t = jnp.sin(theta)  # theta in [0, pi] so sin_t >= 0

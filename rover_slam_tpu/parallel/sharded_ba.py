@@ -1,0 +1,191 @@
+"""Distributed bundle adjustment: edges sharded over a device mesh.
+
+This is the first-class distributed component the reference does not have
+(SURVEY.md §2.3: the reference is single-process pthreads; the TPU-native
+equivalent is pjit/shard_map over a Mesh with ICI collectives).
+
+Decomposition: BA edges (observations) are sharded across devices; pose and
+landmark variable blocks are replicated. Every Gauss-Newton matvec is then
+  local per-edge contraction -> psum over the edge axis,
+i.e. the reduced-system assembly rides the ICI with exactly one all-reduce per
+matvec (the "Schur via psum" design from BASELINE.json). Landmark blocks
+(H_ll, preconditioner) are computed shard-locally and psum-merged once per
+iteration — landmark marginalization stays cheap because segment-sums over a
+shard's edges only touch the landmarks that shard observes.
+
+Scaling: with E edges and D devices each matvec does O(E/D) work + one psum of
+the (small) variable vector — near-linear until the replicated variable vector
+dominates. For keyframe counts beyond one chip's HBM the same code shards
+landmarks too (future: reduce_scatter on the landmark axis).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..geometry import lie, cameras
+from ..optim import ba as ba_mod
+from ..optim import robust
+
+
+def pad_edges_to(prob: ba_mod.BAProblem, multiple: int) -> ba_mod.BAProblem:
+    """Pad the edge arrays so they divide evenly across mesh shards."""
+    E = prob.e_kf.shape[0]
+    pad = (-E) % multiple
+    if pad == 0:
+        return prob
+    return prob._replace(
+        e_kf=jnp.pad(prob.e_kf, (0, pad)),
+        e_lm=jnp.pad(prob.e_lm, (0, pad)),
+        e_uv=jnp.pad(prob.e_uv, ((0, pad), (0, 0))),
+        e_valid=jnp.pad(prob.e_valid, (0, pad)),
+        e_info=jnp.pad(prob.e_info, (0, pad)),
+    )
+
+
+def solve_ba_sharded(prob: ba_mod.BAProblem, mesh: Mesh,
+                     cam_kind: int = cameras.PINHOLE,
+                     iters: int = 10, cg_iters: int = 20,
+                     chi2_th: float = robust.CHI2_MONO,
+                     lam0: float = 1e-4):
+    """LM + block-Jacobi PCG with edges sharded over mesh axis 'edges'.
+
+    Returns (R_cw, t_cw, lm_pos, cost_history). Numerics match
+    optim.ba.solve_ba(solver='pcg') up to reduction order.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    prob = pad_edges_to(prob, n_dev)
+    Kw = prob.R_cw.shape[0]
+    Lw = prob.lm_pos.shape[0]
+    pmask = prob.pose_opt_mask.astype(jnp.float32)[:, None]
+    lmask = prob.lm_opt_mask.astype(jnp.float32)[:, None]
+    delta2 = chi2_th
+
+    edge_spec = ba_mod.BAProblem(
+        R_cw=P(), t_cw=P(), pose_opt_mask=P(), lm_pos=P(), lm_opt_mask=P(),
+        cam_params=P(),
+        e_kf=P(axis), e_lm=P(axis), e_uv=P(axis), e_valid=P(axis),
+        e_info=P(axis))
+
+    def shard_fn(sp: ba_mod.BAProblem):
+        """Runs per-device on its edge shard; variables replicated."""
+
+        def seg_c(vals):
+            return jax.lax.psum(
+                jnp.zeros((Kw, 6), vals.dtype).at[sp.e_kf].add(vals), axis)
+
+        def seg_l(vals):
+            return jax.lax.psum(
+                jnp.zeros((Lw, 3), vals.dtype).at[sp.e_lm].add(vals), axis)
+
+        def edge_terms(R, t, X):
+            Re, te, Xe = R[sp.e_kf], t[sp.e_kf], X[sp.e_lm]
+            Xc = lie.se3_apply(Re, te, Xe)
+            uv_hat = cameras.project(cam_kind, sp.cam_params, Xc)
+            e = sp.e_uv - uv_hat
+            Jp = cameras.project_jac(cam_kind, sp.cam_params, Xc)
+            hatX = lie.so3_hat(Xc)
+            Jc = jnp.concatenate([-Jp, jnp.einsum("eij,ejk->eik", Jp, hatX)],
+                                 axis=-1)
+            Jl = -jnp.einsum("eij,ejk->eik", Jp, Re)
+            return e, Jc, Jl, Xc[..., 2]
+
+        def lm_step(carry, _):
+            R, t, X, lam, _ = carry
+            e, Jc, Jl, depth = edge_terms(R, t, X)
+            chi2 = jnp.sum(e * e, axis=-1) * sp.e_info
+            w = (robust.huber_weight(chi2, delta2) * sp.e_info
+                 * sp.e_valid * (depth > 0.05))
+
+            we = w[:, None] * e
+            g_c = seg_c(jnp.einsum("eki,ek->ei", Jc, we)) * pmask
+            g_l = seg_l(jnp.einsum("eki,ek->ei", Jl, we)) * lmask
+
+            Hcc = jax.lax.psum(
+                jnp.zeros((Kw, 6, 6)).at[sp.e_kf].add(
+                    jnp.einsum("eki,e,ekj->eij", Jc, w, Jc)), axis)
+            Hll = jax.lax.psum(
+                jnp.zeros((Lw, 3, 3)).at[sp.e_lm].add(
+                    jnp.einsum("eki,e,ekj->eij", Jl, w, Jl)), axis)
+            dc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+            dl = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+            lam_dc = lam * jnp.maximum(dc, 1e-6)
+            lam_dl = lam * jnp.maximum(dl, 1e-6)
+            Hcc_d = Hcc + jax.vmap(jnp.diag)(lam_dc)
+            Hll_d = Hll + jax.vmap(jnp.diag)(lam_dl)
+            Hcc_d = jnp.where(pmask[:, :, None] > 0, Hcc_d, jnp.eye(6)[None])
+            Hll_d = jnp.where(lmask[:, :, None] > 0, Hll_d, jnp.eye(3)[None])
+            Pc = jnp.linalg.inv(Hcc_d + 1e-9 * jnp.eye(6)[None])
+            Pl = jnp.linalg.inv(Hll_d + 1e-9 * jnp.eye(3)[None])
+
+            def matvec(v_c, v_l):
+                v_c = v_c * pmask
+                v_l = v_l * lmask
+                u = (jnp.einsum("eki,ei->ek", Jc, v_c[sp.e_kf])
+                     + jnp.einsum("eki,ei->ek", Jl, v_l[sp.e_lm])) * w[:, None]
+                out_c = seg_c(jnp.einsum("eki,ek->ei", Jc, u)) + lam_dc * v_c
+                out_l = seg_l(jnp.einsum("eki,ek->ei", Jl, u)) + lam_dl * v_l
+                return out_c * pmask, out_l * lmask
+
+            def precond(r_c, r_l):
+                return (jnp.einsum("kij,kj->ki", Pc, r_c) * pmask,
+                        jnp.einsum("lij,lj->li", Pl, r_l) * lmask)
+
+            b_c, b_l = -g_c, -g_l
+
+            def cg_body(c, _):
+                x_c, x_l, r_c, r_l, p_c, p_l, rz = c
+                Ap_c, Ap_l = matvec(p_c, p_l)
+                pAp = jnp.sum(p_c * Ap_c) + jnp.sum(p_l * Ap_l)
+                alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+                x_c += alpha * p_c; x_l += alpha * p_l
+                r_c -= alpha * Ap_c; r_l -= alpha * Ap_l
+                z_c, z_l = precond(r_c, r_l)
+                rz_new = jnp.sum(r_c * z_c) + jnp.sum(r_l * z_l)
+                beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+                return (x_c, x_l, r_c, r_l, z_c + beta * p_c, z_l + beta * p_l,
+                        rz_new), None
+
+            z0c, z0l = precond(b_c, b_l)
+            rz0 = jnp.sum(b_c * z0c) + jnp.sum(b_l * z0l)
+            (dx_c, dx_l, *_), _ = jax.lax.scan(
+                cg_body, (jnp.zeros_like(b_c), jnp.zeros_like(b_l),
+                          b_c, b_l, z0c, z0l, rz0), None, length=cg_iters)
+
+            dR, dt = lie.se3_exp(dx_c)
+            R_new = lie.normalize_rotation(jnp.einsum("kij,kjl->kil", dR, R))
+            t_new = jnp.einsum("kij,kj->ki", dR, t) + dt
+            R_new = jnp.where(pmask[:, :, None] > 0, R_new, R)
+            t_new = jnp.where(pmask > 0, t_new, t)
+            X_new = jnp.where(lmask > 0, X + dx_l, X)
+
+            e_new, _, _, _ = edge_terms(R_new, t_new, X_new)
+            chi2_new = jnp.sum(e_new * e_new, axis=-1) * sp.e_info
+            me = sp.e_valid.astype(jnp.float32)
+            cost_old = jax.lax.psum(jnp.sum(ba_mod._huber_cost(chi2, delta2) * me), axis)
+            cost_new = jax.lax.psum(jnp.sum(ba_mod._huber_cost(chi2_new, delta2) * me), axis)
+            improved = cost_new < cost_old
+            R = jnp.where(improved, R_new, R)
+            t = jnp.where(improved, t_new, t)
+            X = jnp.where(improved, X_new, X)
+            lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 5.0), 1e-8, 1e4)
+            return (R, t, X, lam, cost_old), cost_old
+
+        init = (sp.R_cw, sp.t_cw, sp.lm_pos, jnp.float32(lam0), jnp.float32(0))
+        (R, t, X, _, _), costs = jax.lax.scan(lm_step, init, None, length=iters)
+        return R, t, X, costs
+
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(edge_spec,),
+                       out_specs=(P(), P(), P(), P()))
+    return jax.jit(fn)(prob)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "edges") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]).reshape(n), (axis,))

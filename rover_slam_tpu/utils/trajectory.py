@@ -1,0 +1,90 @@
+"""Trajectory IO and ATE evaluation.
+
+Replicates the reference's evaluation protocol
+(reference: evaluation/evaluate_ate_scale.py — Horn alignment with optimal scale
+for monocular, ATE RMSE; System::SaveTrajectoryTUM/SaveTrajectoryEuRoC
+src/System.cc:637-1332 write `t tx ty tz qx qy qz qw`).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def rot_to_quat(R: np.ndarray) -> np.ndarray:
+    """[3,3] -> (qx, qy, qz, qw)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        qw = 0.25 * s
+        qx = (R[2, 1] - R[1, 2]) / s
+        qy = (R[0, 2] - R[2, 0]) / s
+        qz = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[3] = (R[k, j] - R[j, k]) / s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        qx, qy, qz, qw = q
+    return np.array([qx, qy, qz, qw])
+
+
+def save_tum(path: str, times, R_cw, t_cw):
+    """Write TUM-format camera trajectory (world-frame poses Twc)."""
+    with open(path, "w") as f:
+        for i in range(len(times)):
+            R_wc = np.asarray(R_cw[i]).T
+            p = -R_wc @ np.asarray(t_cw[i])
+            q = rot_to_quat(R_wc)
+            f.write(f"{times[i]:.6f} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n")
+
+
+def load_tum(path: str):
+    data = np.loadtxt(path)
+    return data[:, 0], data[:, 1:4], data[:, 4:8]
+
+
+def horn_align(model: np.ndarray, data: np.ndarray, with_scale: bool = True):
+    """Align `model` [N,3] to `data` [N,3]: find s, R, t minimizing
+    ||data - (s R model + t)||. Same math as evaluate_ate_scale.py (Horn 1987
+    closed form with Umeyama scale)."""
+    mu_m = model.mean(0)
+    mu_d = data.mean(0)
+    mc = model - mu_m
+    dc = data - mu_d
+    W = dc.T @ mc
+    U, S, Vt = np.linalg.svd(W)
+    D = np.eye(3)
+    D[2, 2] = np.sign(np.linalg.det(U @ Vt))
+    R = U @ D @ Vt
+    if with_scale:
+        var_m = (mc ** 2).sum()
+        s = (S * np.diag(D)).sum() / max(var_m, 1e-12)
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_m
+    return s, R, t
+
+
+def ate_rmse(est_pos: np.ndarray, gt_pos: np.ndarray, with_scale: bool = True):
+    """ATE RMSE after (scaled) Horn alignment. Returns (rmse, aligned_est)."""
+    s, R, t = horn_align(est_pos, gt_pos, with_scale)
+    aligned = (s * (R @ est_pos.T)).T + t
+    err = np.linalg.norm(aligned - gt_pos, axis=1)
+    return float(np.sqrt((err ** 2).mean())), aligned
+
+
+def associate_by_time(t_est, t_gt, max_dt=0.02):
+    """Greedy timestamp association (reference evaluation/associate.py)."""
+    pairs = []
+    j = 0
+    for i, te in enumerate(t_est):
+        while j + 1 < len(t_gt) and abs(t_gt[j + 1] - te) <= abs(t_gt[j] - te):
+            j += 1
+        if abs(t_gt[j] - te) <= max_dt:
+            pairs.append((i, j))
+    return pairs

@@ -1,0 +1,70 @@
+"""End-to-end monocular SLAM on a synthetic sequence with ATE scoring.
+
+This is the pipeline-level integration test the reference only has as dataset
+shell scripts (SURVEY.md §4): init -> track -> keyframes -> triangulation ->
+local BA, scored with the same scale-aligned Horn ATE protocol as
+evaluation/evaluate_ate_scale.py.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rover_slam_tpu.slam.system import MonocularSLAM
+from rover_slam_tpu.slam import tracking as T
+from rover_slam_tpu.utils import synthetic, trajectory
+
+
+@pytest.fixture(scope="module")
+def run_result():
+    world = synthetic.make_world(n_landmarks=3000, desc_dim=64, seed=0)
+    R_gt, t_gt, times = synthetic.forward_trajectory(
+        n_frames=40, dt=0.1, speed=0.6, yaw_rate=0.04)
+    frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=512,
+                                       pix_noise=0.4, desc_noise=0.05)
+    slam = MonocularSLAM(world.cam_params,
+                         map_capacity=(64, 512, 8192), desc_dim=64)
+    infos = []
+    for f in frames:
+        infos.append(slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time))
+    return slam, infos, (R_gt, t_gt, times)
+
+
+def test_initializes(run_result):
+    slam, infos, _ = run_result
+    assert slam.tracking_state == T.OK
+    assert slam.n_kf >= 2
+
+
+def test_tracks_whole_sequence(run_result):
+    slam, infos, _ = run_result
+    states = [i["state"] for i in infos]
+    # After init, no losses.
+    first_ok = states.index(T.OK)
+    assert all(s == T.OK for s in states[first_ok:])
+
+
+def test_map_grows(run_result):
+    slam, _, _ = run_result
+    assert int(slam.state.n_lm) > 300
+    assert slam.n_kf >= 4
+
+
+def test_ate(run_result):
+    slam, infos, (R_gt, t_gt, times) = run_result
+    est_t, est_R, est_tcw = slam.get_trajectory()
+    # Positions: camera centers.
+    est_pos = np.stack([-est_R[i].T @ est_tcw[i] for i in range(len(est_t))])
+    # Associate with GT by time.
+    gt_pos = np.stack([-R_gt[i].T @ t_gt[i] for i in range(len(times))])
+    pairs = trajectory.associate_by_time(est_t, times)
+    e = np.stack([est_pos[i] for i, _ in pairs])
+    g = np.stack([gt_pos[j] for _, j in pairs])
+    rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
+    # Path length ~2.4m; require cm-level ATE on clean synthetic data.
+    assert rmse < 0.05, f"ATE RMSE {rmse:.4f} m"
+
+
+def test_stage_timers_populated(run_result):
+    slam, _, _ = run_result
+    s = slam.timers.summary()
+    assert "lm_track" in s and "local_ba" in s

@@ -1,0 +1,188 @@
+"""Loop-closing component tests: Sim3 solver, essential-graph optimization,
+place-recognition database (reference: src/Sim3Solver.cc, Optimizer.cc:4509,
+src/KeyFrameDatabase.cc:658)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rover_slam_tpu.geometry import lie, cameras
+from rover_slam_tpu.optim import sim3_solver, pose_graph
+from rover_slam_tpu.map import keyframe_database as kdb
+
+CAM = cameras.make_pinhole(458.654, 457.296, 367.215, 248.375)
+
+
+class TestHornSim3:
+    def test_exact_recovery(self):
+        rng = np.random.default_rng(70)
+        P = rng.normal(0, 2, (20, 3)).astype(np.float32)
+        s_true = 1.4
+        R_true = np.asarray(lie.so3_exp(jnp.asarray([0.2, -0.3, 0.5])))
+        t_true = np.array([1.0, -2.0, 0.5], np.float32)
+        Q = s_true * (R_true @ P.T).T + t_true
+        s, R, t = sim3_solver.horn_sim3(jnp.asarray(P), jnp.asarray(Q))
+        np.testing.assert_allclose(float(s), s_true, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-3)
+
+    def test_fix_scale(self):
+        rng = np.random.default_rng(71)
+        P = rng.normal(0, 2, (20, 3)).astype(np.float32)
+        R_true = np.asarray(lie.so3_exp(jnp.asarray([0.1, 0.2, -0.1])))
+        Q = (R_true @ P.T).T + np.array([0.5, 0.0, 1.0], np.float32)
+        s, R, t = sim3_solver.horn_sim3(jnp.asarray(P), jnp.asarray(Q),
+                                        fix_scale=True)
+        assert float(s) == 1.0
+        np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-4)
+
+
+class TestSim3Ransac:
+    def test_with_outliers(self):
+        rng = np.random.default_rng(72)
+        M = 60
+        # Points in cam1 frame; cam2 view differs by Sim3.
+        X1 = np.stack([rng.uniform(-2, 2, M), rng.uniform(-2, 2, M),
+                       rng.uniform(4, 10, M)], 1).astype(np.float32)
+        s_true = 0.9
+        R_true = np.asarray(lie.so3_exp(jnp.asarray([0.05, 0.3, -0.02])))
+        t_true = np.array([0.4, 0.1, 0.6], np.float32)
+        X2 = s_true * (R_true @ X1.T).T + t_true
+        X2 += rng.normal(0, 0.01, X2.shape)
+        # 25% outliers.
+        bad = rng.choice(M, M // 4, replace=False)
+        X2[bad] += rng.uniform(1, 3, (len(bad), 3))
+        uv1 = np.array(cameras.pinhole_project(CAM, jnp.asarray(X1)))
+        uv2 = np.array(cameras.pinhole_project(CAM, jnp.asarray(X2)))
+        res = sim3_solver.sim3_ransac(
+            jnp.asarray(X1), jnp.asarray(X2), jnp.ones(M, bool),
+            jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+            CAM, jax.random.PRNGKey(0))
+        assert bool(res.success)
+        np.testing.assert_allclose(float(res.s), s_true, rtol=0.02)
+        dR = np.asarray(res.R) @ R_true.T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 1.0
+        inl = np.asarray(res.inliers)
+        assert inl[bad].mean() < 0.2
+
+
+class TestEssentialGraph:
+    def _ring_problem(self, K=12, drift=0.02, with_loop=True):
+        """Odometry ring with accumulated drift; loop edge closes it."""
+        rng = np.random.default_rng(73)
+        # Ground truth poses on a circle (Twc), world->cam = inverse.
+        s_gt = np.ones(K, np.float32)
+        R_gt, t_gt = [], []
+        for k in range(K):
+            th = 2 * np.pi * k / K
+            Rwc = np.asarray(lie.so3_exp(jnp.asarray([0.0, th, 0.0])),
+                             dtype=np.float32)
+            pwc = np.array([np.sin(th) * 3, 0.0, 3 - np.cos(th) * 3], np.float32)
+            R_gt.append(Rwc.T)
+            t_gt.append(-Rwc.T @ pwc)
+        R_gt, t_gt = np.stack(R_gt), np.stack(t_gt)
+
+        # Odometry measurements: true relative + small noise (these define GT up
+        # to noise); initial estimates integrate DRIFTED odometry.
+        e_i, e_j, meas = [], [], []
+        for k in range(K - 1):
+            # S_ij maps j-frame -> i-frame: S_i * S_j^-1
+            s_m, R_m, t_m = pose_graph.relative_sim3(
+                jnp.asarray(1.0), jnp.asarray(R_gt[k]), jnp.asarray(t_gt[k]),
+                jnp.asarray(1.0), jnp.asarray(R_gt[k + 1]), jnp.asarray(t_gt[k + 1]))
+            e_i.append(k); e_j.append(k + 1)
+            meas.append((np.asarray(s_m), np.asarray(R_m), np.asarray(t_m)))
+        if with_loop:
+            s_m, R_m, t_m = pose_graph.relative_sim3(
+                jnp.asarray(1.0), jnp.asarray(R_gt[0]), jnp.asarray(t_gt[0]),
+                jnp.asarray(1.0), jnp.asarray(R_gt[K - 1]), jnp.asarray(t_gt[K - 1]))
+            e_i.append(0); e_j.append(K - 1)
+            meas.append((np.asarray(s_m), np.asarray(R_m), np.asarray(t_m)))
+
+        # Drifted initial guess: scale drift + rotation drift accumulating.
+        s0 = np.ones(K, np.float32)
+        R0, t0 = R_gt.copy(), t_gt.copy()
+        for k in range(1, K):
+            d = drift * k
+            dR, dt = lie.se3_exp(jnp.asarray(
+                np.array([d * 0.5, 0, 0, 0, d, 0], np.float32)))
+            R0[k] = np.asarray(dR) @ R0[k]
+            t0[k] = np.asarray(dR) @ t0[k] + np.asarray(dt)
+            s0[k] = 1.0 + d * 0.5
+
+        E = len(e_i)
+        prob = pose_graph.PoseGraphProblem(
+            s=jnp.asarray(s0), R=jnp.asarray(R0), t=jnp.asarray(t0),
+            opt_mask=jnp.asarray(np.arange(K) > 0),
+            e_i=jnp.asarray(e_i, jnp.int32), e_j=jnp.asarray(e_j, jnp.int32),
+            e_s=jnp.asarray(np.array([m[0] for m in meas], np.float32)),
+            e_R=jnp.asarray(np.stack([m[1] for m in meas])),
+            e_t=jnp.asarray(np.stack([m[2] for m in meas])),
+            e_valid=jnp.ones(E, bool), e_weight=jnp.ones(E, jnp.float32))
+        return prob, (R_gt, t_gt)
+
+    def test_ring_converges_to_gt(self):
+        prob, (R_gt, t_gt) = self._ring_problem()
+        s, R, t, costs = pose_graph.optimize_essential_graph(prob, iters=15)
+        assert float(costs[-1]) < 1e-6, np.asarray(costs)
+        np.testing.assert_allclose(np.asarray(s), np.ones(len(s)), atol=1e-3)
+        R_se3, t_se3 = pose_graph.sim3_to_se3(s, R, t)
+        err = np.linalg.norm(np.asarray(t_se3) - t_gt, axis=1)
+        assert err.max() < 0.01, err
+
+    def test_fixed_pose_unchanged(self):
+        prob, _ = self._ring_problem()
+        s, R, t, _ = pose_graph.optimize_essential_graph(prob, iters=5)
+        np.testing.assert_allclose(np.asarray(R[0]), np.asarray(prob.R[0]), atol=0)
+        np.testing.assert_allclose(float(s[0]), float(prob.s[0]), atol=0)
+
+    def test_landmark_correction(self):
+        # Landmark attached to a KF whose pose gets scaled by 2: the corrected
+        # landmark must keep its camera-frame coords.
+        lm = jnp.asarray([[0.0, 0.0, 5.0]])
+        s_old = jnp.asarray([1.0]); R_old = jnp.eye(3)[None]; t_old = jnp.zeros((1, 3))
+        s_new = jnp.asarray([2.0]); R_new = R_old; t_new = t_old
+        ref = jnp.asarray([0], jnp.int32)
+        out = pose_graph.correct_landmarks(lm, ref, s_old, R_old, t_old,
+                                           s_new, R_new, t_new,
+                                           jnp.ones(1, bool))
+        np.testing.assert_allclose(np.asarray(out[0]), [0, 0, 2.5], atol=1e-5)
+
+
+class TestKeyFrameDB:
+    def test_self_similarity_highest(self):
+        rng = np.random.default_rng(74)
+        D, N, K = 32, 128, 10
+        db = kdb.empty_db(D, K, n_words=256)
+        descs = []
+        for k in range(K):
+            d = rng.normal(size=(N, D)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            descs.append(d)
+            db = kdb.db_add(db, k, jnp.asarray(d), jnp.ones(N, bool))
+        # Query with a noisy version of KF 3's descriptors.
+        q = descs[3] + rng.normal(0, 0.1, (N, D)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        tfq = kdb.bow_transform(db.vocab, jnp.asarray(q), jnp.ones(N, bool))
+        sims = kdb.bow_similarity(tfq, db.tf)
+        assert int(jnp.argmax(sims)) == 3
+
+    def test_detect_candidates_excludes_connected(self):
+        rng = np.random.default_rng(75)
+        D, N, K = 32, 128, 10
+        db = kdb.empty_db(D, K, n_words=256)
+        base = rng.normal(size=(N, D)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        for k in range(K):
+            noise = rng.normal(0, 0.5 if k != 7 else 0.05, (N, D))
+            d = base + noise.astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            db = kdb.db_add(db, k, jnp.asarray(d), jnp.ones(N, bool))
+        tfq = kdb.bow_transform(db.vocab, jnp.asarray(base), jnp.ones(N, bool))
+        covis = jnp.zeros((K, K))
+        connected = jnp.zeros(K, bool).at[0].set(True).at[1].set(True)
+        ids, scores = kdb.detect_candidates(db, tfq, covis, 2, connected,
+                                            n_best=4)
+        ids = np.asarray(ids)
+        assert 7 == ids[0]          # most similar unconnected KF wins
+        assert 0 not in ids and 1 not in ids and 2 not in ids
