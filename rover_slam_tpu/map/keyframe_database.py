@@ -89,10 +89,14 @@ def detect_candidates(db: KeyFrameDB, query_tf, covis_W, query_kf,
     sims = bow_similarity(query_tf, db.tf)
     sims = jnp.where(db.active & ~connected_mask, sims, -1.0)
     sims = sims.at[query_kf].set(-1.0)
-    # Covisibility-group accumulated score: each candidate's score is summed
-    # over its top covisible neighbors (group score, reference :758-789).
+    # Gate to >= 0.8 * best first (reference: 0.8*maxCommonWords filter,
+    # KeyFrameDatabase.cc:700-720), THEN accumulate over covisible gated
+    # members (group score :758-789). Without the gate, a keyframe with many
+    # mediocre-similarity neighbors out-scores the true revisit.
+    best = jnp.max(sims)
+    gated = jnp.where(sims >= 0.8 * jnp.maximum(best, 1e-6), sims, 0.0)
     W_bin = (covis_W > 0).astype(jnp.float32)
-    group = sims + jnp.einsum("kj,j->k", W_bin, jnp.maximum(sims, 0.0))
-    group = jnp.where(db.active & ~connected_mask, group, -1.0)
+    group = gated + jnp.einsum("kj,j->k", W_bin, gated)
+    group = jnp.where((gated > 0) & db.active & ~connected_mask, group, -1.0)
     scores, ids = jax.lax.top_k(group, n_best)
     return jnp.where(scores > 0, ids, -1), scores

@@ -148,6 +148,43 @@ def _correct_loop_kernel(state: ms.MapState, kf_q, kf_c, s_qc, R_qc, t_qc,
     return state, costs
 
 
+@functools.partial(jax.jit, static_argnames=("cam_kind",))
+def _fuse_after_loop_kernel(state: ms.MapState, kf_q, kf_c, cam_params,
+                            cam_kind, radius=5.0):
+    """Merge duplicated landmarks after loop correction
+    (reference LoopClosing::SearchAndFuse src/LoopClosing.cc:3197-3296):
+    project the candidate side's landmarks into the query keyframe; keypoints
+    that already carry a (younger, duplicated) landmark get re-pointed at the
+    older one, which wins (reference MapPoint::Replace keeps more-observed)."""
+    L = state.L
+    # Landmarks anchored near the candidate keyframe (its covis group).
+    W = ms.covisibility(state)
+    c_group = (W[kf_c] > 0).at[kf_c].set(True)
+    anchor = jnp.clip(state.lm_anchor_kf, 0, state.K - 1)
+    cand_lm = state.lm_active & c_group[anchor]
+    uv, depth, visible = assoc.project_landmarks(
+        state.lm_pos, cand_lm, state.kf_R_cw[kf_q], state.kf_t_cw[kf_q],
+        cam_params, cam_kind)
+    fuse_kpt = assoc.fuse_duplicates(
+        uv, state.lm_desc.astype(jnp.float32), visible,
+        state.kf_kpts[kf_q], state.kf_desc[kf_q].astype(jnp.float32),
+        state.kf_kpt_valid[kf_q], state.kf_landmark_idx[kf_q], radius=radius)
+    # old (duplicate) landmark at the collided keypoint slot -> candidate lm.
+    slot = jnp.clip(fuse_kpt, 0, state.N - 1)
+    dup_lm = state.kf_landmark_idx[kf_q][slot]
+    do_fuse = (fuse_kpt >= 0) & (dup_lm >= 0) \
+        & (dup_lm != jnp.arange(L)) & cand_lm
+    dup_c = jnp.clip(dup_lm, 0, L - 1)
+    # Substitution table dup -> survivor; survivors never substituted.
+    table = jnp.arange(L, dtype=jnp.int32).at[dup_c].set(
+        jnp.where(do_fuse, jnp.arange(L, dtype=jnp.int32), dup_c),
+        mode="drop")
+    state = ms.replace_landmark_ids(state, table)
+    killed = jnp.zeros((L,), bool).at[dup_c].set(do_fuse, mode="drop")
+    state = state.replace(lm_active=state.lm_active & ~killed)
+    return state, jnp.sum(do_fuse)
+
+
 class LoopCloser:
     """Host orchestration of loop detection + correction."""
 
@@ -194,9 +231,14 @@ class LoopCloser:
                 res.s, res.R, res.t,
                 jnp.asarray(self.cfg.min_covis_weight, jnp.int32),
                 self.cfg.pose_graph_iters)
+            state, n_fused = _fuse_after_loop_kernel(
+                state, jnp.asarray(kf_id, jnp.int32),
+                jnp.asarray(int(cand), jnp.int32), self.cam_params,
+                self.cfg.cam_kind)
             info = {"loop": True, "candidate": int(cand),
                     "n_inliers": int(res.n_inliers),
                     "scale": float(res.s),
+                    "n_fused": int(n_fused),
                     "pg_cost": float(costs[-1])}
             self.loops_closed.append((kf_id, int(cand)))
             break

@@ -31,11 +31,18 @@ class MonocularSLAM:
     """Monocular visual SLAM (the reference's System(..., MONOCULAR) mode)."""
 
     def __init__(self, cam_params, config: Optional[T.TrackerConfig] = None,
-                 map_capacity=(128, 512, 8192), desc_dim: int = 64):
+                 map_capacity=(128, 512, 8192), desc_dim: int = 64,
+                 enable_loop_closing: bool = False, loop_config=None):
         self.cfg = config or T.TrackerConfig()
         self.cam_params = jnp.asarray(cam_params)
         K, N, L = map_capacity
         self.state = ms.empty_map(K=K, N=N, L=L, D=desc_dim)
+        self.loop_closer = None
+        if enable_loop_closing:
+            from .loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(cam_params, K, desc_dim,
+                                          config=loop_config)
+        self.loop_events = []
         self.tracking_state = T.NO_IMAGES_YET
         self.velocity = None          # (dR, dt) motion model (Tcw increment)
         self.last_frame: Optional[T.FrameData] = None
@@ -65,25 +72,28 @@ class MonocularSLAM:
                 self._log_pose(frame)
             return info
 
-        # --- normal tracking ---
-        with self.timers.stage("pose_pred"):
-            R0, t0 = self._predict_pose()
-            ok, frame = self._track_motion_model(frame, R0, t0)
-        if not ok:
-            # No frame-to-frame associations (e.g. prev frame was lost): seed
-            # from the prediction and let projection search against the whole
-            # map recover (the reference's projection-based relocalization
-            # within the RECENTLY_LOST window, src/Tracking.cc:2257-2294).
-            frame.R_cw, frame.t_cw = R0, t0
-            frame.landmark_idx = jnp.full((self.state.N,), -1, jnp.int32)
-
+        # --- normal tracking: ONE fused kernel dispatch + one scalar fetch ---
         with self.timers.stage("lm_track"):
-            ok, frame, n_vis = self._track_local_map(frame)
+            R0, t0 = self._predict_pose()
+            prev = self.last_frame
+            prev_lidx = prev.landmark_idx if prev.landmark_idx is not None \
+                else jnp.full((self.state.N,), -1, jnp.int32)
+            R2, t2, cur_lm, flags = T._track_step_kernel(
+                self.state, prev.desc, prev.valid, prev_lidx,
+                frame.kpts, frame.desc, frame.valid, R0, t0,
+                self.cam_params, self.cfg.cam_kind, self.cfg.image_hw,
+                self.cfg.min_matches_motion, self.cfg.min_inliers_track,
+                self.cfg.min_inliers_local_map, self.cfg.proj_radius,
+                self.cfg.desc_th2,
+                ref_kf=jnp.asarray(max(self.n_kf - 1, 0), jnp.int32),
+                local_map_only=self.cfg.local_map_only)
+            flags = np.asarray(flags)   # single host sync per frame
+            ok = bool(flags[0])
+            self._last_n_inl = int(flags[1])
+            frame.R_cw, frame.t_cw, frame.landmark_idx = R2, t2, cur_lm
 
         if not ok:
             self.tracking_state = T.RECENTLY_LOST
-            frame.R_cw, frame.t_cw = R0, t0
-            frame.landmark_idx = jnp.full((self.state.N,), -1, jnp.int32)
         else:
             self.tracking_state = T.OK
             self._update_motion_model(frame)
@@ -147,6 +157,15 @@ class MonocularSLAM:
         self.velocity = None
         self.frames_since_kf = 0
         self.last_frame = frame
+        if self.loop_closer is not None:
+            # Register the two init keyframes in the place-recognition database
+            # (they are created by _init_map_kernel, not _insert_keyframe).
+            from ..map import keyframe_database as kdb
+            for k in (0, 1):
+                self.loop_closer.db = kdb.db_add(
+                    self.loop_closer.db, k,
+                    self.state.kf_desc[k].astype(jnp.float32),
+                    self.state.kf_kpt_valid[k])
         return True
 
     # ------------------------------------------------------------------
@@ -208,37 +227,26 @@ class MonocularSLAM:
     def _insert_keyframe(self, frame):
         """KF insertion + the LocalMapping work the reference queues to its
         mapping thread (ProcessNewKeyFrame, CreateNewMapPoints, local BA)."""
-        self.state, kf_id = T._add_keyframe_kernel(
+        # ONE fused program: add KF + covis + triangulate top-2 + local BA.
+        self.state, scalars = T._insert_keyframe_kernel(
             self.state, frame.R_cw, frame.t_cw, frame.kpts, frame.rays,
             frame.desc, frame.valid, frame.landmark_idx,
             jnp.asarray(frame.time, jnp.float32),
-            jnp.asarray(self.n_kf - 1, jnp.int32))
+            jnp.asarray(self.n_kf - 1, jnp.int32),
+            self.cam_params, self.cfg.cam_kind,
+            self.cfg.local_window, self.cfg.fixed_window, self.cfg.ba_iters)
         self.n_kf += 1
         self.frames_since_kf = 0
-        kf_id_i = int(kf_id)
+        scalars = np.asarray(scalars)   # single sync per keyframe
+        kf_id_i = int(scalars[0])
+        self.ref_kf_tracked = int(scalars[3])
 
-        with self.timers.stage("triangulate"):
-            # Triangulate against the best covisible neighbors (reference uses
-            # 10 neighbors; we batch the top-2 for the minimum slice).
-            ids, wts = T._best_covis_kernel(self.state, kf_id_i, 2)
-            ids, wts = np.asarray(ids), np.asarray(wts)
-            for j in range(2):
-                nbr = int(ids[j])
-                if nbr < 0 or int(wts[j]) < 10:
-                    continue
-                self.state, n_new = T._triangulate_pair_kernel(
-                    self.state, kf_id_i, nbr, self.cam_params, self.cfg.cam_kind)
-
-        with self.timers.stage("local_ba"):
-            window, opt_mask = T._covis_window(
-                self.state, jnp.asarray(kf_id_i, jnp.int32),
-                self.cfg.local_window, self.cfg.fixed_window)
-            self.state = T._local_ba_kernel(self.state, window, opt_mask,
-                                            self.cam_params, self.cfg.cam_kind,
-                                            iters=self.cfg.ba_iters)
-
-        self.ref_kf_tracked = int(T._count_kf_obs(
-            self.state, jnp.asarray(kf_id_i, jnp.int32)))
+        if self.loop_closer is not None:
+            with self.timers.stage("place_recog"):
+                self.state, linfo = self.loop_closer.on_keyframe(self.state,
+                                                                 kf_id_i)
+            if linfo.get("loop"):
+                self.loop_events.append((kf_id_i, linfo))
 
     # ------------------------------------------------------------------
     def _log_pose(self, frame):

@@ -47,6 +47,7 @@ class TrackerConfig:
     min_init_matches: int = 80        # :2922 (100 in ref; oracle frames are smaller)
     proj_radius: float = 15.0
     desc_th2: float = assoc.TH_HIGH ** 2
+    local_map_only: bool = False  # True = reference-style covis-local search
     kf_min_interval: int = 0  # the reference fork always-inserts (if(true))
     kf_max_interval: int = 10
     kf_tracked_ratio: float = 0.9     # c2 policy (reference :3848)
@@ -201,6 +202,12 @@ def _ba_window_args(state: ms.MapState, window_ids, opt_mask):
 @functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))
 def _local_ba_kernel(state: ms.MapState, window_ids, opt_mask, cam_params,
                      cam_kind, iters):
+    return _local_ba_body(state, window_ids, opt_mask, cam_params, cam_kind,
+                          iters)
+
+
+def _local_ba_body(state: ms.MapState, window_ids, opt_mask, cam_params,
+                   cam_kind, iters):
     """Local BA over a keyframe window; writes results back into the map.
     (reference Optimizer::LocalBundleAdjustment src/Optimizer.cc:1740)."""
     prob = _ba_window_args(state, window_ids, opt_mask)._replace(
@@ -229,11 +236,21 @@ def _local_ba_kernel(state: ms.MapState, window_ids, opt_mask, cam_params,
 @functools.partial(jax.jit, static_argnames=("cam_kind",))
 def _triangulate_pair_kernel(state: ms.MapState, kf_new, kf_nbr, cam_params,
                              cam_kind, min_parallax_cos=0.9998):
+    return _triangulate_pair_kernel_body(state, kf_new, kf_nbr, cam_params,
+                                         cam_kind, jnp.asarray(True),
+                                         min_parallax_cos)
+
+
+def _triangulate_pair_kernel_body(state: ms.MapState, kf_new, kf_nbr,
+                                  cam_params, cam_kind, enabled,
+                                  min_parallax_cos=0.9998):
     """Create new landmarks between a new keyframe and one covisible neighbor
     (reference LocalMapping::CreateNewMapPoints src/LocalMapping.cc:517-955).
 
     Matches unassociated keypoints (mutual NN + epipolar gate), triangulates,
-    and registers observations in both keyframes.
+    and registers observations in both keyframes. `enabled` (traced bool)
+    masks the whole update so the caller can gate on covisibility weight
+    without a host round trip.
     """
     N = state.N
     d_new = state.kf_desc[kf_new].astype(jnp.float32)
@@ -260,7 +277,7 @@ def _triangulate_pair_kernel(state: ms.MapState, kf_new, kf_nbr, cam_params,
     uv1 = cameras.project(cam_kind, cam_params, lie.se3_apply(R1, t1, Xw))
     e0 = jnp.sum((uv0 - state.kf_kpts[kf_new]) ** 2, axis=-1)
     e1 = jnp.sum((uv1 - state.kf_kpts[kf_nbr][m]) ** 2, axis=-1)
-    ok = ok & (e0 < robust.CHI2_MONO * 4) & (e1 < robust.CHI2_MONO * 4)
+    ok = ok & (e0 < robust.CHI2_MONO * 4) & (e1 < robust.CHI2_MONO * 4) & enabled
 
     normals = Xw / jnp.maximum(jnp.linalg.norm(Xw, axis=-1, keepdims=True), 1e-9)
     state, slots = ms.add_landmarks(state, Xw, d_new, normals,
@@ -274,6 +291,118 @@ def _triangulate_pair_kernel(state: ms.MapState, kf_new, kf_nbr, cam_params,
                           .at[kf_nbr].set(li_nbr))
     n_new = jnp.sum(slots >= 0)
     return state, n_new
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam_kind", "image_hw", "local_map_only"))
+def _track_step_kernel(state: ms.MapState,
+                       prev_desc, prev_valid, prev_lidx,
+                       cur_kpts, cur_desc, cur_valid,
+                       R_pred, t_pred,
+                       cam_params, cam_kind, image_hw,
+                       min_matches_motion, min_inliers_track,
+                       min_inliers_local_map, proj_radius, desc_th2,
+                       ref_kf=None, local_map_only: bool = False):
+    """ONE fused per-frame tracking program: frame-to-frame match -> motion-model
+    pose opt -> local-map projection track -> pose opt.
+
+    Fusing the whole hot path into a single dispatch matters doubly on TPU:
+    one launch + one scalar fetch per frame instead of ~6 launches and ~4
+    blocking syncs (the reference pays the same structural cost as separate
+    ONNX sessions + CPU loops, SURVEY.md §3.2).
+
+    Returns (R, t, cur_lm, ok (bool), n_inl, motion_ok).
+    """
+    L = state.lm_pos.shape[0]
+    N = cur_kpts.shape[0]
+    matches, _ = assoc.mutual_nn_match(prev_desc, prev_valid, cur_desc,
+                                       cur_valid, ratio=0.8)
+    # --- motion-model stage ---
+    has = (matches >= 0) & (prev_lidx >= 0) & prev_valid
+    cur_lm0 = jnp.full((N,), -1, jnp.int32).at[
+        jnp.clip(matches, 0, N - 1)].max(
+        jnp.where(has, prev_lidx, -1), mode="drop")
+    lm_c = jnp.clip(cur_lm0, 0, L - 1)
+    cand_ok = (cur_lm0 >= 0) & state.lm_active[lm_c] & cur_valid
+    res_m = pose_opt.pose_optimization(R_pred, t_pred, state.lm_pos[lm_c],
+                                       cur_kpts, cand_ok, cam_params,
+                                       cam_kind=cam_kind)
+    n_cand = jnp.sum(cand_ok.astype(jnp.int32))
+    motion_ok = (n_cand >= min_matches_motion) & \
+        (res_m.n_inliers >= min_inliers_track)
+    R1 = jnp.where(motion_ok, res_m.R_cw, R_pred)
+    t1 = jnp.where(motion_ok, res_m.t_cw, t_pred)
+    cur_lm1 = jnp.where(motion_ok & res_m.inliers, cur_lm0, -1)
+
+    # --- local-map stage ---
+    if local_map_only:
+        # Reference-style local map: landmarks seen by the reference keyframe's
+        # covisibility neighborhood (Tracking::UpdateLocalKeyFrames/Points,
+        # src/Tracking.cc:4190-4444). Restricting the search lets drift
+        # accumulate past the projection radius until explicit loop closure —
+        # and bounds per-frame work for city-scale maps. Without it the full
+        # map is projected (one matmul): continuous implicit loop closure.
+        W = ms.covisibility(state)
+        nbrs = (W[ref_kf] > 0).at[ref_kf].set(True)
+        obs = ms.observation_matrix(state)          # [K, L]
+        lm_local = (nbrs.astype(jnp.float32) @ obs) > 0
+        search_mask = state.lm_active & lm_local
+    else:
+        search_mask = state.lm_active
+    uv, depth, visible = assoc.project_landmarks(
+        state.lm_pos, search_mask, R1, t1, cam_params, cam_kind, image_hw)
+    kpt_lm, _ = assoc.projection_match(uv, state.lm_desc.astype(jnp.float32),
+                                       visible, cur_kpts, cur_desc, cur_valid,
+                                       radius=proj_radius, th_desc2=desc_th2)
+    cur_lm = jnp.where(cur_lm1 >= 0, cur_lm1, kpt_lm)
+    lm_c2 = jnp.clip(cur_lm, 0, L - 1)
+    ok2 = (cur_lm >= 0) & cur_valid & state.lm_active[lm_c2]
+    res_l = pose_opt.pose_optimization(R1, t1, state.lm_pos[lm_c2],
+                                       cur_kpts, ok2, cam_params,
+                                       cam_kind=cam_kind)
+    cur_lm = jnp.where(res_l.inliers, cur_lm, -1)
+    ok = res_l.n_inliers >= min_inliers_local_map
+    R2 = jnp.where(ok, res_l.R_cw, R_pred)
+    t2 = jnp.where(ok, res_l.t_cw, t_pred)
+    flags = jnp.stack([ok.astype(jnp.int32), res_l.n_inliers,
+                       motion_ok.astype(jnp.int32), n_cand])
+    return R2, t2, jnp.where(ok, cur_lm, -1), flags
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam_kind", "n_opt", "n_fixed", "ba_iters"))
+def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
+                            lidx, time, parent, cam_params, cam_kind,
+                            n_opt: int, n_fixed: int, ba_iters: int):
+    """ONE fused keyframe-insertion program: add KF -> covisibility -> new-point
+    triangulation against the top-2 covisible neighbors -> windowed local BA
+    with writeback. (The reference queues the same work to its LocalMapping
+    thread, src/LocalMapping.cc:95-362.)
+
+    Returns (state, kf_id, scalars [kf_id, n_new0, n_new1, n_obs]).
+    """
+    state, kf_id = ms.add_keyframe(state, R, t, kpts, rays, desc, valid, lidx,
+                                   time, parent=parent)
+    W = ms.covisibility(state)
+    ids, wts = ms.best_covisible(W, kf_id, 2)
+
+    def tri(state, j):
+        nbr = jnp.clip(ids[j], 0, state.K - 1)
+        enabled = (ids[j] >= 0) & (wts[j] >= 10)
+        new_state, n_new = _triangulate_pair_kernel_body(
+            state, kf_id, nbr, cam_params, cam_kind, enabled)
+        return new_state, n_new
+
+    state, n_new0 = tri(state, 0)
+    state, n_new1 = tri(state, 1)
+
+    window, opt_mask = _covis_window(state, kf_id, n_opt, n_fixed)
+    state = _local_ba_body(state, window, opt_mask, cam_params, cam_kind,
+                           ba_iters)
+    n_obs = jnp.sum((state.kf_landmark_idx[kf_id] >= 0)
+                    & state.kf_kpt_valid[kf_id])
+    scalars = jnp.stack([kf_id, n_new0, n_new1, n_obs])
+    return state, scalars
 
 
 # --- small jitted wrappers so the host loop never dispatches eager ops

@@ -74,6 +74,41 @@ def forward_trajectory(n_frames=60, dt=0.1, speed=0.5, yaw_rate=0.05, seed=1,
     return np.stack(Rs), np.stack(ts), np.asarray(times, np.float32)
 
 
+def ring_world(n_landmarks=6000, desc_dim=64, seed=0, radius=12.0,
+               height=4.0, orbit_radius=5.0, image_hw=(480, 640)) -> SyntheticWorld:
+    """Landmarks on a cylinder wall around an orbit — every viewpoint along a
+    circular trajectory sees texture (loop-closure scenario)."""
+    rng = np.random.default_rng(seed)
+    th = rng.uniform(0, 2 * np.pi, n_landmarks)
+    r = radius + rng.uniform(-1.0, 1.0, n_landmarks)
+    y = rng.uniform(-height, height, n_landmarks)
+    pts = np.stack([r * np.sin(th), y, r * np.cos(th)], 1).astype(np.float32)
+    d = rng.normal(size=(n_landmarks, desc_dim)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    cam = np.asarray(cameras.make_pinhole(458.654, 457.296, 367.215, 248.375))
+    return SyntheticWorld(pts, d, cam, cameras.PINHOLE, image_hw)
+
+
+def orbit_trajectory(n_frames=80, orbit_radius=5.0, seed=1, noise=0.001,
+                     dt=0.1, revs=1.05):
+    """Camera orbits the origin looking outward; returns to its start (> one
+    revolution) so place recognition fires. Returns (R_cw, t_cw, times)."""
+    rng = np.random.default_rng(seed)
+    Rs, ts, times = [], [], []
+    for i in range(n_frames):
+        th = 2 * np.pi * revs * i / n_frames
+        # camera position on the orbit; looks radially outward (+z out).
+        p_wc = np.array([orbit_radius * np.sin(th), 0.0,
+                         orbit_radius * np.cos(th)], np.float32)
+        R_wc = np.asarray(lie.so3_exp(jnp.asarray([0.0, th, 0.0])),
+                          dtype=np.float32)
+        p_wc += rng.normal(0, noise, 3).astype(np.float32)
+        R_cw = R_wc.T
+        t_cw = -R_cw @ p_wc
+        Rs.append(R_cw); ts.append(t_cw); times.append(i * dt)
+    return np.stack(Rs), np.stack(ts), np.asarray(times, np.float32)
+
+
 def render_frame(world: SyntheticWorld, R_cw, t_cw, time, n_kpts=512,
                  pix_noise=0.4, desc_noise=0.08, dropout=0.05, seed=0
                  ) -> SyntheticFrame:

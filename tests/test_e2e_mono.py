@@ -67,4 +67,4 @@ def test_ate(run_result):
 def test_stage_timers_populated(run_result):
     slam, _, _ = run_result
     s = slam.timers.summary()
-    assert "lm_track" in s and "local_ba" in s
+    assert "lm_track" in s and "new_kf" in s
