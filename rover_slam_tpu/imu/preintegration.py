@@ -184,19 +184,46 @@ def predict_state(Rwb0: jnp.ndarray, pwb0: jnp.ndarray, vwb0: jnp.ndarray,
 
 
 def merge(first: PreintState, second: PreintState) -> PreintState:
-    """Concatenate two preintegrated segments sharing the same linearization bias
-    (reference Preintegrated::MergePrevious). Used when a frame is dropped."""
-    dt = first.dt + second.dt
-    dR = lie.normalize_rotation(first.dR @ second.dR)
-    dV = first.dV + first.dR @ second.dV
-    dP = first.dP + first.dV * second.dt + first.dR @ second.dP
-    # Jacobian composition (chain rule through the concatenation).
-    JRg = second.dR.T @ first.JRg + second.JRg
-    JVg = first.JVg + first.dR @ second.JVg  # approx: ignores cross rotation term
-    JVa = first.JVa + first.dR @ second.JVa
-    JPg = first.JPg + first.JVg * second.dt + first.dR @ second.JPg
-    JPa = first.JPa + first.JVa * second.dt + first.dR @ second.JPa
-    C = first.C + second.C  # conservative upper bound; exact propagation done on re-integration
+    """Exact concatenation of two preintegrated segments sharing the same
+    linearization bias (reference Preintegrated::MergePrevious semantics).
+
+    Composition: dR = dRa dRb; dV = dVa + dRa dVb;
+                 dP = dPa + dVa*dtb + dRa dPb.
+    Bias Jacobians follow by product rule, including the rotation cross-terms
+    (-dRa hat(x) JRga); the 9x9 covariance propagates through the
+    linearized concatenation maps F (first-segment error) and G (second)."""
+    dta, dtb = first.dt, second.dt
+    dRa, dRb = first.dR, second.dR
+    dt = dta + dtb
+    dR = lie.normalize_rotation(dRa @ dRb)
+    dV = first.dV + dRa @ second.dV
+    dP = first.dP + first.dV * dtb + dRa @ second.dP
+
+    hat_dVb = lie.so3_hat(second.dV)
+    hat_dPb = lie.so3_hat(second.dP)
+    JRg = dRb.T @ first.JRg + second.JRg
+    JVg = first.JVg - dRa @ hat_dVb @ first.JRg + dRa @ second.JVg
+    JVa = first.JVa + dRa @ second.JVa
+    JPg = (first.JPg + first.JVg * dtb - dRa @ hat_dPb @ first.JRg
+           + dRa @ second.JPg)
+    JPa = first.JPa + first.JVa * dtb + dRa @ second.JPa
+
+    I3 = jnp.eye(3, dtype=dV.dtype)
+    Z3 = jnp.zeros((3, 3), dV.dtype)
+    F9 = jnp.block([
+        [dRb.T, Z3, Z3],
+        [-dRa @ hat_dVb, I3, Z3],
+        [-dRa @ hat_dPb, I3 * dtb, I3],
+    ])
+    G9 = jnp.block([
+        [I3, Z3, Z3],
+        [Z3, dRa, Z3],
+        [Z3, Z3, dRa],
+    ])
+    C = jnp.zeros((15, 15), dV.dtype)
+    C = C.at[:9, :9].set(F9 @ first.C[:9, :9] @ F9.T
+                         + G9 @ second.C[:9, :9] @ G9.T)
+    C = C.at[9:15, 9:15].set(first.C[9:15, 9:15] + second.C[9:15, 9:15])
     return PreintState(dR=dR, dV=dV, dP=dP, C=C, JRg=JRg, JVg=JVg, JVa=JVa,
                        JPg=JPg, JPa=JPa, dt=dt, bg=first.bg, ba=first.ba)
 

@@ -1,0 +1,93 @@
+"""Map maintenance: landmark culling, keyframe culling, global BA.
+
+TPU-native replacement for LocalMapping::MapPointCulling (reference:
+src/LocalMapping.cc:462-505 — foundRatio < 0.05 (fork-loosened from 0.25) or
+age >= 2 KFs with <= 2-3 observations), KeyFrameCulling (:1310-1504 — cull a
+keyframe when >= 90% of its points are seen by >= 3 other keyframes), and
+GlobalBundleAdjustemnt (src/Optimizer.cc:2813).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import cameras
+from ..optim import ba
+from . import map_state as ms
+
+
+@jax.jit
+def cull_landmarks(state: ms.MapState, min_found_ratio: float = 0.05,
+                   min_obs: int = 2, min_age_kf: int = 2) -> ms.MapState:
+    """Deactivate weak landmarks (reference MapPointCulling)."""
+    found_ratio = state.lm_found.astype(jnp.float32) / jnp.maximum(
+        state.lm_visible.astype(jnp.float32), 1.0)
+    age = state.n_kf - state.lm_first_kf
+    weak = (found_ratio < min_found_ratio) | \
+        ((age >= min_age_kf) & (state.lm_n_obs <= min_obs))
+    kill = state.lm_active & weak & (state.lm_first_kf >= 0)
+    return ms.remove_landmarks(state, kill)
+
+
+@jax.jit
+def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
+                   min_kept_obs: int = 3):
+    """Deactivate redundant keyframes: >= `redundancy` of their landmarks are
+    observed by >= min_kept_obs other keyframes (reference KeyFrameCulling).
+    Keyframes 0/1 (origin) and the newest are protected. Returns
+    (state, n_culled)."""
+    K, L = state.K, state.L
+    obs = ms.observation_matrix(state)            # [K, L]
+    lm_obs_count = jnp.sum(obs, axis=0)           # [L]
+    # Landmark is redundant for keyframe k if others see it enough.
+    redundant_lm = (lm_obs_count[None, :] - obs) >= min_kept_obs  # [K, L]
+    n_own = jnp.sum(obs, axis=1)
+    n_red = jnp.sum(obs * redundant_lm, axis=1)
+    frac = n_red / jnp.maximum(n_own, 1.0)
+    protect = (jnp.arange(K) <= 1) | (jnp.arange(K) >= state.n_kf - 2)
+    cull = state.kf_active & (frac > redundancy) & ~protect & (n_own > 0)
+    # Clear observations of culled KFs.
+    li = jnp.where(cull[:, None], -1, state.kf_landmark_idx)
+    state = state.replace(kf_active=state.kf_active & ~cull,
+                          kf_landmark_idx=li)
+    return state, jnp.sum(cull)
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))
+def global_ba(state: ms.MapState, cam_params, cam_kind: int = cameras.PINHOLE,
+              iters: int = 10) -> ms.MapState:
+    """Full-map bundle adjustment (reference GlobalBundleAdjustemnt — 10 iters
+    after a loop closure, run in a detached thread; here one device program
+    over every active keyframe/landmark using the PCG solver, which scales to
+    the whole map and shards over edges in the distributed path)."""
+    K, N, L = state.K, state.N, state.L
+    li = state.kf_landmark_idx
+    kv = state.kf_kpt_valid & state.kf_active[:, None]
+    e_lm = jnp.clip(jnp.where((li >= 0) & kv, li, 0), 0, L - 1).reshape(-1)
+    e_valid = ((li >= 0) & kv).reshape(-1) & state.lm_active[e_lm.reshape(-1)]
+    e_kf = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
+    prob = ba.BAProblem(
+        R_cw=state.kf_R_cw, t_cw=state.kf_t_cw,
+        pose_opt_mask=state.kf_active & (jnp.arange(K) != 0),
+        lm_pos=state.lm_pos, lm_opt_mask=state.lm_active,
+        cam_params=cam_params,
+        e_kf=e_kf.astype(jnp.int32), e_lm=e_lm.astype(jnp.int32),
+        e_uv=state.kf_kpts.reshape(-1, 2), e_valid=e_valid,
+        e_info=jnp.ones((K * N,), jnp.float32))
+    res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, cg_iters=25,
+                      solver="pcg", phases=2)
+    bad = (~res.e_inlier) & e_valid
+    li_new = jnp.where(bad.reshape(K, N), -1, li)
+    return state.replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw,
+                         lm_pos=res.lm_pos, kf_landmark_idx=li_new)
+
+
+@jax.jit
+def update_found_visible(state: ms.MapState, visible_mask, found_mask
+                         ) -> ms.MapState:
+    """Per-frame statistics update (reference MapPoint::IncreaseVisible/Found)."""
+    return state.replace(
+        lm_visible=state.lm_visible + visible_mask.astype(jnp.int32),
+        lm_found=state.lm_found + found_mask.astype(jnp.int32))

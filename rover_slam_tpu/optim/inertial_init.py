@@ -46,6 +46,7 @@ class InertialInitProblem(NamedTuple):
     imu_ba0: jnp.ndarray
     imu_info: jnp.ndarray  # [K,9,9]
     imu_valid: jnp.ndarray
+    Rwg0: jnp.ndarray = None  # [3,3] gravity-direction bootstrap (optional)
 
 
 class InertialInitResult(NamedTuple):
@@ -58,7 +59,7 @@ class InertialInitResult(NamedTuple):
 
 
 def _gs_residual(params, Ri, pi, Rj, pj, dR, dV, dP, JRg, JVg, JVa, JPg, JPa,
-                 dt, bg0, ba0, K, slot_i):
+                 dt, bg0, ba0, K, slot_i, Rwg0):
     """EdgeInertialGS residual for one consecutive pair (fixed poses)."""
     v = params[:3 * K].reshape(K, 3)
     bg = params[3 * K:3 * K + 3]
@@ -66,7 +67,7 @@ def _gs_residual(params, Ri, pi, Rj, pj, dR, dV, dP, JRg, JVg, JVa, JPg, JPa,
     thg = params[3 * K + 6:3 * K + 8]
     log_s = params[3 * K + 8]
     s = jnp.exp(log_s)
-    Rwg = lie.so3_exp(jnp.concatenate([thg, jnp.zeros(1)]))
+    Rwg = Rwg0 @ lie.so3_exp(jnp.concatenate([thg, jnp.zeros(1)]))
     g = Rwg @ jnp.array([0.0, 0.0, -G_MAG])
 
     vi = v[slot_i]
@@ -82,16 +83,138 @@ def _gs_residual(params, Ri, pi, Rj, pj, dR, dV, dP, JRg, JVg, JVa, JPg, JPa,
     return jnp.concatenate([er, ev, ep])
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _gyro_bias_only(prob: InertialInitProblem, iters: int = 5):
+    """Stage 1: bg from rotation residuals alone — a 3-var GN on
+    sum ||log(dR(bg)^T Ri^T Rj)||^2 (nearly quadratic, no couplings)."""
+    K = prob.R_wb.shape[0]
+    idx = jnp.arange(K)
+    w_e = (prob.imu_valid & prob.kf_valid).astype(jnp.float32)
+
+    def r_all(bg):
+        def one(i):
+            dbg = bg - prob.imu_bg0[i]
+            dR_c = prob.imu_dR[i] @ lie.so3_exp(prob.imu_JRg[i] @ dbg)
+            Rj = prob.R_wb[jnp.minimum(i + 1, K - 1)]
+            return lie.so3_log(dR_c.T @ prob.R_wb[i].T @ Rj)
+        return jax.vmap(one)(idx) * w_e[:, None]
+
+    def step(bg, _):
+        r = r_all(bg)
+        J = jax.jacfwd(r_all)(bg)          # [K,3,3]
+        H = jnp.einsum("eki,ekj->ij", J, J) + 1e-9 * jnp.eye(3)
+        g = jnp.einsum("eki,ek->i", J, r)
+        return bg - jnp.linalg.solve(H, g), None
+
+    bg, _ = jax.lax.scan(step, jnp.zeros(3), None, length=iters)
+    return bg
+
+
+@functools.partial(jax.jit, static_argnames=("fix_scale",))
+def _linear_vgs(prob: InertialInitProblem, bg, fix_scale: bool = False,
+                sigma_vis: float = 0.01):
+    """Stage 2: with bg fixed (ba~0), ev/ep are LINEAR in
+    x = [v(3K), g(3), s]. One weighted least-squares solve — convex, global
+    (the VINS-Mono-style linear alignment; avoids the GN local minima that a
+    joint solve hits when gravity starts far off)."""
+    K = prob.R_wb.shape[0]
+    nv = 3 * K + 4
+    idx = jnp.arange(K)
+    w_e = (prob.imu_valid & prob.kf_valid).astype(jnp.float32)
+
+    def rows(i):
+        Ri = prob.R_wb[i]
+        Rit = Ri.T
+        j = jnp.minimum(i + 1, K - 1)
+        dt = prob.imu_dt[i]
+        dbg = bg - prob.imu_bg0[i]
+        dV_c = prob.imu_dV[i] + prob.imu_JVg[i] @ dbg
+        dP_c = prob.imu_dP[i] + prob.imu_JPg[i] @ dbg
+        dp = prob.p_wb[j] - prob.p_wb[i]
+        Z = jnp.zeros((3, 3))
+        # ev = Rit( vj - vi - g dt ) - dV_c   (rows 0:3)
+        # ep = Rit( s*dp - vi dt - 0.5 g dt^2 ) - dP_c  (rows 3:6)
+        A = jnp.zeros((6, nv))
+        # (i and j are traced: use dynamic_update_slice; j > i always for valid
+        # edges, the padded last slot is masked out by Ws anyway)
+        A = jax.lax.dynamic_update_slice(A, Rit, (0, 3 * j))
+        A = jax.lax.dynamic_update_slice(A, -Rit, (0, 3 * i))
+        A = jax.lax.dynamic_update_slice(A, -Rit * dt, (3, 3 * i))
+        A = A.at[0:3, 3 * K:3 * K + 3].set(-Rit * dt)
+        A = A.at[3:6, 3 * K:3 * K + 3].set(-0.5 * Rit * dt * dt)
+        A = A.at[3:6, 3 * K + 3].set(Rit @ dp)
+        b = jnp.concatenate([dV_c, dP_c])
+        # Weight by the v/p information with a VISUAL-noise floor: the
+        # residuals are dominated by keyframe-pose noise (mm-cm), not the tiny
+        # preintegration covariance; pure-IMU weights amplify that noise and
+        # bias the scale far along the weakly-observable (s,g,v0) direction.
+        C6 = jnp.linalg.inv(prob.imu_info[i][3:9, 3:9]
+                            + 1e-8 * jnp.eye(6)) + sigma_vis ** 2 * jnp.eye(6)
+        W6 = jnp.linalg.inv(C6) * w_e[i]
+        lam_, U = jnp.linalg.eigh(0.5 * (W6 + W6.T))
+        Ws = U @ jnp.diag(jnp.sqrt(jnp.maximum(lam_, 0.0))) @ U.T
+        return Ws @ A, Ws @ b
+
+    As, bs = jax.vmap(rows)(idx)
+    A = As.reshape(-1, nv)
+    b = bs.reshape(-1)
+    if fix_scale:
+        # Drop the scale column; solve with s = 1.
+        b = b - A[:, -1]
+        A = A.at[:, -1].set(0.0)
+    AtA = A.T @ A + 1e-6 * jnp.eye(nv)
+    x = jnp.linalg.solve(AtA, A.T @ b)
+    v = x[:3 * K].reshape(K, 3)
+    g = x[3 * K:3 * K + 3]
+    s = jnp.where(fix_scale, 1.0, x[3 * K + 3])
+    return v, g, s
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale", "fix_gdir"))
 def inertial_only_optimization(prob: InertialInitProblem,
                                prior_g: float = 1e2, prior_a: float = 1e6,
                                iters: int = 20, fix_scale: bool = False,
                                fix_gdir: bool = False) -> InertialInitResult:
     """Estimate velocities, biases, gravity direction and scale against fixed
-    visual poses. prior_g/prior_a: bias priors (reference 3-stage schedule)."""
+    visual poses. prior_g/prior_a: bias priors (reference 3-stage schedule).
+
+    Internally staged for global convergence: (1) gyro bias from rotations,
+    (2) exact linear solve of velocities/gravity/scale, (3) joint GN refine
+    with |g| = 9.81 enforced via the 2-dof gravity parameterization."""
     K = prob.R_wb.shape[0]
     n = 3 * K + 9
     idx = jnp.arange(K)
+
+    # Visual-noise floor on the information (see _linear_vgs): rotation block
+    # floored at (1e-3 rad)^2, velocity/position at sigma_vis^2.
+    sigma_vis = 0.01
+    floor = jnp.diag(jnp.concatenate([jnp.full(3, 1e-6),
+                                      jnp.full(6, sigma_vis ** 2)]))
+    info_eff = jax.vmap(
+        lambda I9: jnp.linalg.inv(
+            jnp.linalg.inv(I9 + 1e-6 * jnp.eye(9)) + floor))(prob.imu_info)
+    prob = prob._replace(imu_info=info_eff)
+
+    # --- stages 1+2: globally-convergent bootstrap ---
+    bg_boot = _gyro_bias_only(prob)
+    v_boot, g_boot, s_boot = _linear_vgs(prob, bg_boot, fix_scale=fix_scale,
+                                         sigma_vis=sigma_vis)
+    s_boot = jnp.clip(s_boot, 0.05, 50.0)
+    # Gravity-rotation bootstrap from the linear solve's g estimate
+    # (plays the role of the reference's dirG accumulation,
+    # src/LocalMapping.cc:1764-1812, but from the globally-solved g).
+    if prob.Rwg0 is not None:
+        Rwg0 = prob.Rwg0
+    else:
+        dirG = g_boot / jnp.maximum(jnp.linalg.norm(g_boot), 1e-9)
+        gI = jnp.array([0.0, 0.0, -1.0])
+        vcross = jnp.cross(gI, dirG)
+        sin_n = jnp.linalg.norm(vcross)
+        cos_ = jnp.dot(gI, dirG)
+        ang = jnp.arctan2(sin_n, cos_)
+        axis = vcross / jnp.maximum(sin_n, 1e-9)
+        Rwg0 = lie.so3_exp(axis * ang)
+        Rwg0 = jnp.where(sin_n < 1e-6, jnp.eye(3), Rwg0)
 
     def residuals(params):
         f = lambda i: _gs_residual(
@@ -100,7 +223,7 @@ def inertial_only_optimization(prob: InertialInitProblem,
             prob.p_wb[jnp.minimum(i + 1, K - 1)],
             prob.imu_dR[i], prob.imu_dV[i], prob.imu_dP[i], prob.imu_JRg[i],
             prob.imu_JVg[i], prob.imu_JVa[i], prob.imu_JPg[i], prob.imu_JPa[i],
-            prob.imu_dt[i], prob.imu_bg0[i], prob.imu_ba0[i], K, i)
+            prob.imu_dt[i], prob.imu_bg0[i], prob.imu_ba0[i], K, i, Rwg0)
         return jax.vmap(f)(idx)                       # [K,9]
 
     w_edge = (prob.imu_valid & prob.kf_valid
@@ -152,7 +275,9 @@ def inertial_only_optimization(prob: InertialInitProblem,
         params = jnp.where(best == 1, cand1, jnp.where(best == 2, cand2, params))
         return (params, c0), c0
 
-    params0 = jnp.zeros(n)
+    params0 = jnp.concatenate([
+        v_boot.reshape(-1), bg_boot, jnp.zeros(3), jnp.zeros(2),
+        jnp.log(s_boot)[None]])
     (params, _), costs = jax.lax.scan(lm_iter, (params0, jnp.float32(0)),
                                       None, length=iters)
     v = params[:3 * K].reshape(K, 3)
@@ -160,7 +285,7 @@ def inertial_only_optimization(prob: InertialInitProblem,
     ba = params[3 * K + 3:3 * K + 6]
     thg = params[3 * K + 6:3 * K + 8]
     s = jnp.exp(params[3 * K + 8])
-    Rwg = lie.so3_exp(jnp.concatenate([thg, jnp.zeros(1)]))
+    Rwg = Rwg0 @ lie.so3_exp(jnp.concatenate([thg, jnp.zeros(1)]))
     return InertialInitResult(v_wb=v, bg=bg, ba=ba, Rwg=Rwg, scale=s,
                               cost=costs[-1])
 

@@ -1,0 +1,178 @@
+"""Stereo SLAM: left/right matching, fixed-baseline triangulation, stereo init.
+
+TPU-native replacement for the reference's stereo path
+(reference: Frame::ComputeStereoMatches src/Frame.cc:1159 — rectified scanline
+search with threshold (TH_HIGH+TH_LOW)/2 and disparity range [0, mbf/b];
+ComputeStereoFishEyeMatches :1619-1700 — BF-knn + Lowe ratio +
+GeometricCamera::TriangulateMatches; Tracking::StereoInitialization
+src/Tracking.cc:2739 — first frame becomes a keyframe with landmarks from
+stereo depth, no scale ambiguity).
+
+Matching is one masked descriptor-distance matrix with an epipolar row gate
+(rectified) or a generalized epipolar gate (fisheye Tlr), batched over all
+keypoints.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie, cameras, triangulation
+from ..map import map_state as ms
+from ..ops import association as assoc
+from . import tracking as T
+from .system import MonocularSLAM
+
+
+@functools.partial(jax.jit, static_argnames=("rectified",))
+def stereo_match_kernel(kpts_l, desc_l, valid_l, kpts_r, desc_r, valid_r,
+                        baseline_fx, row_tol=2.0, max_disp=192.0,
+                        rectified: bool = True,
+                        th_desc2=((assoc.TH_HIGH + assoc.TH_LOW) / 2) ** 2):
+    """Rectified stereo matching: mutual NN constrained to the same scanline
+    with positive disparity. Returns (match_r [N] int32, depth [N], disp [N]).
+
+    depth = baseline_fx / disparity (reference mbf / disparity).
+    """
+    d2 = assoc.desc_dist2(desc_l, desc_r)
+    drow = jnp.abs(kpts_l[:, None, 1] - kpts_r[None, :, 1])
+    disp = kpts_l[:, None, 0] - kpts_r[None, :, 0]
+    ok = (valid_l[:, None] & valid_r[None, :] & (drow <= row_tol)
+          & (disp > 0.1) & (disp < max_disp) & (d2 <= th_desc2))
+    big = jnp.float32(1e9)
+    d2m = jnp.where(ok, d2, big)
+    best_r = jnp.argmin(d2m, axis=1)
+    best_l = jnp.argmin(d2m, axis=0)
+    has = jnp.take_along_axis(d2m, best_r[:, None], axis=1)[:, 0] < big
+    mutual = (best_l[best_r] == jnp.arange(desc_l.shape[0])) & has
+    match_r = jnp.where(mutual, best_r, -1)
+    disp_sel = jnp.take_along_axis(disp, jnp.clip(best_r, 0, desc_r.shape[0]-1)[:, None],
+                                   axis=1)[:, 0]
+    depth = jnp.where(mutual, baseline_fx / jnp.maximum(disp_sel, 0.1), -1.0)
+    return match_r.astype(jnp.int32), depth, jnp.where(mutual, disp_sel, -1.0)
+
+
+@jax.jit
+def fisheye_stereo_match_kernel(rays_l, desc_l, valid_l, rays_r, desc_r,
+                                valid_r, R_rl, t_rl,
+                                th_desc2=assoc.TH_LOW ** 2,
+                                epi_th: float = 0.01):
+    """General (fisheye) stereo: mutual NN + ratio + epipolar gate + two-view
+    triangulation with the known extrinsic (reference
+    ComputeStereoFishEyeMatches + KannalaBrandt8::TriangulateMatches).
+
+    R_rl/t_rl: pose of left cam in right cam frame (x_r = R_rl x_l + t_rl).
+    Returns (match_r [N], Xl [N,3] points in left-cam frame, valid [N]).
+    """
+    matches, _ = assoc.mutual_nn_match(desc_l, valid_l, desc_r, valid_r,
+                                       th_desc2=th_desc2, ratio=0.8)
+    # Epipolar gate in bearing space: treat left cam as cam0, right as cam1
+    # with T01 = pose of cam1 in cam0: x_l = R_lr x_r + t_lr.
+    R_lr = jnp.swapaxes(R_rl, -1, -2)
+    t_lr = -R_lr @ t_rl
+    matches = assoc.epipolar_gate(rays_l, rays_r, matches, R_lr, t_lr,
+                                  th=epi_th)
+    m = jnp.clip(matches, 0, rays_r.shape[0] - 1)
+    # Triangulate: cam_l at identity (Tcw = I), cam_r at T_rl.
+    Xl, tri_ok = triangulation.triangulate_and_check(
+        rays_l, rays_r[m], jnp.eye(3), jnp.zeros(3), R_rl, t_rl,
+        min_parallax_cos=1.0)
+    valid = (matches >= 0) & tri_ok & (Xl[:, 2] > 0.05)
+    return matches, Xl, valid
+
+
+class StereoSLAM(MonocularSLAM):
+    """Stereo (rectified) SLAM: metric from the first frame.
+
+    track_stereo_frame() takes both eyes' extractions; depth from the stereo
+    match seeds landmarks at every keyframe (reference StereoInitialization +
+    CreateNewKeyFrame stereo landmark spawning src/Tracking.cc:3940-4080).
+    """
+
+    def __init__(self, cam_params, baseline: float, **kw):
+        super().__init__(cam_params, **kw)
+        self.baseline = float(baseline)
+        self.baseline_fx = self.baseline * float(np.asarray(cam_params)[0])
+
+    def track_stereo_frame(self, kpts_l, rays_l, desc_l, valid_l,
+                           kpts_r, desc_r, valid_r, time) -> dict:
+        match_r, depth, disp = stereo_match_kernel(
+            jnp.asarray(kpts_l), jnp.asarray(desc_l), jnp.asarray(valid_l),
+            jnp.asarray(kpts_r), jnp.asarray(desc_r), jnp.asarray(valid_r),
+            jnp.asarray(self.baseline_fx, jnp.float32))
+        self._stereo_depth = depth
+        if self.tracking_state in (T.NO_IMAGES_YET, T.NOT_INITIALIZED):
+            ok = self._stereo_init(kpts_l, rays_l, desc_l, valid_l, depth, time)
+            return {"state": self.tracking_state, "init": ok}
+        return self.track_frame(kpts_l, rays_l, desc_l, valid_l, time)
+
+    def _stereo_init(self, kpts, rays, desc, valid, depth, time) -> bool:
+        """(reference StereoInitialization src/Tracking.cc:2739): first frame
+        with enough stereo points becomes KF 0; landmarks at measured depth."""
+        has_depth = np.asarray((depth > 0) & jnp.asarray(valid))
+        if has_depth.sum() < 100:
+            return False
+        rays_j = jnp.asarray(rays)
+        X = rays_j / rays_j[:, 2:] * jnp.asarray(depth)[:, None]
+        state, slots = ms.add_landmarks(
+            self.state, X, jnp.asarray(desc),
+            X / jnp.maximum(jnp.linalg.norm(X, axis=-1, keepdims=True), 1e-9),
+            jnp.zeros((self.state.N,), jnp.int32),
+            jnp.asarray(has_depth))
+        lm_idx = jnp.where(slots >= 0, slots, -1)
+        state, kf_id = ms.add_keyframe(
+            state, jnp.eye(3), jnp.zeros(3), jnp.asarray(kpts), rays_j,
+            jnp.asarray(desc), jnp.asarray(valid), lm_idx,
+            jnp.asarray(time, jnp.float32), parent=-1)
+        self.state = state
+        self.n_kf = 1
+        frame = T.FrameData(jnp.asarray(kpts), rays_j, jnp.asarray(desc),
+                            jnp.asarray(valid), float(time),
+                            R_cw=jnp.eye(3), t_cw=jnp.zeros(3),
+                            landmark_idx=lm_idx)
+        self.last_frame = frame
+        self.tracking_state = T.OK
+        self.ref_kf_tracked = int(has_depth.sum())
+        self._last_n_inl = self.ref_kf_tracked
+        self._log_pose(frame)
+        return True
+
+    def _insert_keyframe(self, frame):
+        """Insert KF, then spawn landmarks from stereo depth for unmatched
+        keypoints (the reference creates close-depth stereo points directly,
+        src/Tracking.cc:3990-4080), then the usual mapping work."""
+        super()._insert_keyframe(frame)
+        depth = getattr(self, "_stereo_depth", None)
+        if depth is None:
+            return
+        kf_id = self.n_kf - 1
+        # Far-point gate ~ 40 baselines (reference Stereo.ThDepth * baseline).
+        self.state = _spawn_stereo_landmarks_kernel(
+            self.state, jnp.asarray(kf_id, jnp.int32), depth,
+            jnp.asarray(40.0 * self.baseline, jnp.float32))
+
+
+@jax.jit
+def _spawn_stereo_landmarks_kernel(state: ms.MapState, kf_id, depth, max_depth):
+    """Create landmarks at stereo depth for keypoints without one."""
+    N = state.N
+    rays = state.kf_rays[kf_id]
+    free = (state.kf_kpt_valid[kf_id] & (state.kf_landmark_idx[kf_id] < 0)
+            & (depth > 0) & (depth < max_depth))
+    Xc = rays / jnp.maximum(rays[:, 2:], 1e-6) * depth[:, None]
+    # to world: X = Tcw^-1 Xc
+    Ri, ti = lie.se3_inverse(state.kf_R_cw[kf_id], state.kf_t_cw[kf_id])
+    Xw = lie.se3_apply(Ri, ti, Xc)
+    center = ti  # camera center in world
+    nrm = Xw - center
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    state, slots = ms.add_landmarks(
+        state, Xw, state.kf_desc[kf_id].astype(jnp.float32), nrm,
+        jnp.full((N,), kf_id, jnp.int32), free)
+    li = jnp.where(slots >= 0, slots, state.kf_landmark_idx[kf_id])
+    return state.replace(
+        kf_landmark_idx=state.kf_landmark_idx.at[kf_id].set(li))

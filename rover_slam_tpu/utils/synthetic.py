@@ -109,6 +109,76 @@ def orbit_trajectory(n_frames=80, orbit_radius=5.0, seed=1, noise=0.001,
     return np.stack(Rs), np.stack(ts), np.asarray(times, np.float32)
 
 
+def orbit_with_imu(n_frames=100, orbit_radius=5.0, revs=1.25, dt=0.1,
+                   hz=200, bg=(0.002, -0.001, 0.003), ba=(-0.02, 0.03, 0.01),
+                   noise_g=1.7e-4, noise_a=2e-3, seed=2,
+                   g_w=(0.0, -9.81, 0.0)):
+    """Analytic circular orbit with IMU samples (gravity perpendicular to the
+    orbit plane, -y world). Camera == body (Rbc = I).
+
+    Returns (R_cw [F,3,3], t_cw [F,3], times [F], v_wb [F,3],
+             imu_per_frame: list of (acc [n,3], gyro [n,3], t [n])).
+    """
+    rng = np.random.default_rng(seed)
+    T_total = n_frames * dt
+    omega = 2 * np.pi * revs / T_total
+    r = orbit_radius
+    g = np.asarray(g_w, np.float32)
+    bg = np.asarray(bg, np.float32)
+    ba = np.asarray(ba, np.float32)
+
+    # Radial wobble + vertical bob: a smooth circle has almost no third-order
+    # content, making monocular scale nearly unobservable over short windows;
+    # handheld/MAV trajectories (EuRoC) are jerky, which is what the
+    # scale/gravity init actually relies on.
+    w_r, A_r = 2.7, 0.25
+    w_y, A_y = 3.3, 0.20
+
+    def body_state(t):
+        th = omega * t
+        rr = r + A_r * np.sin(w_r * t)
+        dr = A_r * w_r * np.cos(w_r * t)
+        ddr = -A_r * w_r * w_r * np.sin(w_r * t)
+        s_, c_ = np.sin(th), np.cos(th)
+        e_rad = np.array([s_, 0.0, c_])
+        e_tan = np.array([c_, 0.0, -s_])
+        y = A_y * np.sin(w_y * t)
+        dy = A_y * w_y * np.cos(w_y * t)
+        ddy = -A_y * w_y * w_y * np.sin(w_y * t)
+        p = (rr * e_rad + np.array([0.0, y, 0.0])).astype(np.float32)
+        v = (dr * e_rad + rr * omega * e_tan
+             + np.array([0.0, dy, 0.0])).astype(np.float32)
+        a = ((ddr - rr * omega * omega) * e_rad + 2 * dr * omega * e_tan
+             + np.array([0.0, ddy, 0.0])).astype(np.float32)
+        R_wb = np.asarray(lie.so3_exp(jnp.asarray([0.0, th, 0.0])),
+                          dtype=np.float32)
+        return R_wb, p, v, a
+
+    Rs, ts, vs, times, imu = [], [], [], [], []
+    n_per = int(round(dt * hz))
+    for i in range(n_frames):
+        t_f = i * dt
+        R_wb, p, v, _ = body_state(t_f)
+        R_cw = R_wb.T
+        t_cw = -R_cw @ p
+        Rs.append(R_cw); ts.append(t_cw); vs.append(v); times.append(t_f)
+        if i + 1 < n_frames:
+            accs, gyros, tt = [], [], []
+            for j in range(n_per):
+                t_s = t_f + (j + 1) / hz * (dt * hz / n_per)
+                Rj, _, _, aj = body_state(t_s)
+                f_b = Rj.T @ (aj - g) + ba \
+                    + rng.normal(0, noise_a * np.sqrt(hz), 3)
+                w_b = np.array([0.0, omega, 0.0], np.float32) + bg \
+                    + rng.normal(0, noise_g * np.sqrt(hz), 3)
+                accs.append(f_b.astype(np.float32))
+                gyros.append(w_b.astype(np.float32))
+                tt.append(t_s)
+            imu.append((np.stack(accs), np.stack(gyros), np.asarray(tt)))
+    return (np.stack(Rs), np.stack(ts), np.asarray(times, np.float32),
+            np.stack(vs), imu)
+
+
 def render_frame(world: SyntheticWorld, R_cw, t_cw, time, n_kpts=512,
                  pix_noise=0.4, desc_noise=0.08, dropout=0.05, seed=0
                  ) -> SyntheticFrame:

@@ -145,3 +145,9 @@ def test_merge_matches_full():
     np.testing.assert_allclose(st_m.dV, st_full.dV, atol=1e-4)
     np.testing.assert_allclose(st_m.dP, st_full.dP, atol=1e-4)
     np.testing.assert_allclose(st_m.dt, st_full.dt, atol=1e-6)
+    # Exact composition extends to bias Jacobians and the covariance.
+    for f in ["JRg", "JVg", "JVa", "JPg", "JPa"]:
+        np.testing.assert_allclose(getattr(st_m, f), getattr(st_full, f),
+                                   atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_m.C), np.asarray(st_full.C),
+                               rtol=1e-4, atol=1e-12)

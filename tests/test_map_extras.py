@@ -1,0 +1,165 @@
+"""Stereo, map maintenance, atlas tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rover_slam_tpu.geometry import lie, cameras
+from rover_slam_tpu.map import map_state as ms, maintenance, atlas
+from rover_slam_tpu.slam import stereo as stereo_mod
+from rover_slam_tpu.slam import tracking as T
+from rover_slam_tpu.utils import synthetic
+
+RNG = np.random.default_rng(90)
+
+
+class TestStereoMatch:
+    def test_rectified_depth(self):
+        fx, baseline = 458.654, 0.11
+        N = 64
+        depth_true = RNG.uniform(2, 20, N).astype(np.float32)
+        xl = RNG.uniform(100, 500, N).astype(np.float32)
+        y = RNG.uniform(50, 430, N).astype(np.float32)
+        disp = fx * baseline / depth_true
+        kpts_l = np.stack([xl, y], 1)
+        kpts_r = np.stack([xl - disp, y], 1)
+        desc = RNG.normal(size=(N, 32)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        m, depth, d = stereo_mod.stereo_match_kernel(
+            jnp.asarray(kpts_l), jnp.asarray(desc), jnp.ones(N, bool),
+            jnp.asarray(kpts_r), jnp.asarray(desc), jnp.ones(N, bool),
+            jnp.asarray(fx * baseline, jnp.float32))
+        m = np.asarray(m)
+        ok = m == np.arange(N)
+        assert ok.mean() > 0.9
+        np.testing.assert_allclose(np.asarray(depth)[ok], depth_true[ok],
+                                   rtol=0.02)
+
+    def test_row_gate(self):
+        # Right kpts on different rows never match.
+        N = 16
+        kpts_l = np.stack([np.full(N, 300.0), np.arange(N) * 20.0], 1).astype(np.float32)
+        kpts_r = kpts_l.copy(); kpts_r[:, 1] += 8.0; kpts_r[:, 0] -= 20.0
+        desc = RNG.normal(size=(N, 32)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        m, depth, _ = stereo_mod.stereo_match_kernel(
+            jnp.asarray(kpts_l), jnp.asarray(desc), jnp.ones(N, bool),
+            jnp.asarray(kpts_r), jnp.asarray(desc), jnp.ones(N, bool),
+            jnp.asarray(50.0, jnp.float32))
+        assert (np.asarray(m) == -1).all()
+
+
+class TestStereoSLAM:
+    def test_metric_from_first_frame(self):
+        """Stereo SLAM produces a metric trajectory with NO scale alignment."""
+        world = synthetic.make_world(n_landmarks=4000, desc_dim=64, seed=3)
+        R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=25, dt=0.1,
+                                                         speed=0.5)
+        frames = synthetic.render_sequence(world, R_gt, t_gt, times,
+                                           n_kpts=512, pix_noise=0.4,
+                                           desc_noise=0.05)
+        baseline = 0.11
+        fx = float(np.asarray(world.cam_params)[0])
+        slam = stereo_mod.StereoSLAM(world.cam_params, baseline,
+                                     map_capacity=(48, 512, 8192), desc_dim=64)
+        for i, f in enumerate(frames):
+            # Synthesize the right view: true depth -> disparity shift.
+            Xc = (f.R_cw @ world.landmarks[np.maximum(f.lm_id, 0)].T).T + f.t_cw
+            depth_true = np.where(f.lm_id >= 0, Xc[:, 2], -1.0)
+            disp = np.where(depth_true > 0, fx * baseline / np.maximum(depth_true, 1e-3), 0)
+            kpts_r = f.kpts.copy()
+            kpts_r[:, 0] -= disp
+            slam.track_stereo_frame(f.kpts, f.rays, f.desc, f.valid,
+                                    kpts_r, f.desc, f.valid, f.time)
+        assert slam.tracking_state == T.OK
+        est_t, est_R, est_tcw = slam.get_trajectory()
+        est_pos = np.stack([-est_R[i].T @ est_tcw[i] for i in range(len(est_t))])
+        gt_pos = np.stack([-R_gt[i].T @ t_gt[i] for i in range(len(times))])
+        # Metric: compare path lengths directly (no alignment).
+        L_est = np.linalg.norm(np.diff(est_pos, axis=0), axis=1).sum()
+        L_gt = np.linalg.norm(np.diff(gt_pos[-len(est_pos):], axis=0), axis=1).sum()
+        assert abs(L_est - L_gt) / L_gt < 0.08, (L_est, L_gt)
+
+
+class TestMaintenance:
+    def _map_with_weak_lms(self):
+        st = ms.empty_map(K=8, N=32, L=64, D=16)
+        st, _ = ms.add_landmarks(st, jnp.zeros((10, 3)), jnp.zeros((10, 16)),
+                                 jnp.zeros((10, 3)), jnp.zeros(10, jnp.int32),
+                                 jnp.ones(10, bool))
+        st = st.replace(n_kf=jnp.asarray(5, jnp.int32),
+                        lm_first_kf=st.lm_first_kf.at[:10].set(0))
+        return st
+
+    def test_cull_low_found_ratio(self):
+        st = self._map_with_weak_lms()
+        st = st.replace(lm_visible=st.lm_visible.at[0].set(100),
+                        lm_found=st.lm_found.at[0].set(1),
+                        lm_n_obs=st.lm_n_obs.at[:10].set(10))
+        out = maintenance.cull_landmarks(st)
+        assert not bool(out.lm_active[0])     # found ratio 0.01 < 0.05
+        assert bool(out.lm_active[1])
+
+    def test_cull_few_obs(self):
+        st = self._map_with_weak_lms()
+        st = st.replace(lm_n_obs=st.lm_n_obs.at[:10].set(10).at[3].set(1))
+        out = maintenance.cull_landmarks(st)
+        assert not bool(out.lm_active[3])
+        assert bool(out.lm_active[4])
+
+    def test_cull_redundant_keyframes(self):
+        st = ms.empty_map(K=8, N=16, L=64, D=16)
+        st, _ = ms.add_landmarks(st, jnp.zeros((12, 3)), jnp.zeros((12, 16)),
+                                 jnp.zeros((12, 3)), jnp.zeros(12, jnp.int32),
+                                 jnp.ones(12, bool))
+        lidx = np.full(16, -1); lidx[:12] = np.arange(12)
+        for k in range(6):  # 6 KFs all seeing the same 12 landmarks
+            st, _ = ms.add_keyframe(st, jnp.eye(3), jnp.zeros(3),
+                                    jnp.zeros((16, 2)), jnp.ones((16, 3)),
+                                    jnp.zeros((16, 16)),
+                                    jnp.asarray(np.arange(16) < 12),
+                                    jnp.asarray(lidx, jnp.int32), float(k))
+        st2, n = maintenance.cull_keyframes(st)
+        assert int(n) >= 2      # middle keyframes are redundant
+        assert bool(st2.kf_active[0]) and bool(st2.kf_active[1])  # protected
+
+
+class TestAtlas:
+    def test_create_and_merge(self):
+        st = ms.empty_map(K=4, N=8, L=16, D=8)
+        st, _ = ms.add_keyframe(st, jnp.eye(3), jnp.zeros(3),
+                                jnp.zeros((8, 2)), jnp.ones((8, 3)),
+                                jnp.zeros((8, 8)), jnp.ones(8, bool),
+                                jnp.full((8,), -1, jnp.int32), 0.0)
+        st = atlas.create_new_map(st)
+        assert int(st.active_map_id) == 1
+        st, _ = ms.add_keyframe(st, jnp.eye(3), jnp.ones(3),
+                                jnp.zeros((8, 2)), jnp.ones((8, 3)),
+                                jnp.zeros((8, 8)), jnp.ones(8, bool),
+                                jnp.full((8,), -1, jnp.int32), 1.0)
+        assert int(st.kf_map_id[0]) == 0 and int(st.kf_map_id[1]) == 1
+        kf_mask, _ = atlas.active_map_masks(st)
+        assert not bool(kf_mask[0]) and bool(kf_mask[1])
+        st = atlas.merge_maps(st, keep_id=0, absorb_id=1)
+        assert int(st.kf_map_id[1]) == 0
+
+    def test_save_load_roundtrip(self, tmp_path):
+        st = ms.empty_map(K=4, N=8, L=16, D=8)
+        st, _ = ms.add_keyframe(st, jnp.eye(3), jnp.arange(3, dtype=jnp.float32),
+                                jnp.zeros((8, 2)), jnp.ones((8, 3)),
+                                jnp.zeros((8, 8)), jnp.ones(8, bool),
+                                jnp.full((8,), -1, jnp.int32), 2.5)
+        p = str(tmp_path / "atlas.npz")
+        atlas.save_atlas(st, p, metadata={"seq": "test"})
+        st2 = atlas.load_atlas(p)
+        np.testing.assert_allclose(np.asarray(st2.kf_t_cw), np.asarray(st.kf_t_cw))
+        assert int(st2.n_kf) == 1
+
+    def test_checksum_detects_corruption(self, tmp_path):
+        st = ms.empty_map(K=4, N=8, L=16, D=8)
+        p = str(tmp_path / "atlas.npz")
+        atlas.save_atlas(st, p)
+        with open(p, "r+b") as f:
+            f.seek(100)
+            f.write(b"XXXX")
+        with pytest.raises(ValueError, match="checksum"):
+            atlas.load_atlas(p)
