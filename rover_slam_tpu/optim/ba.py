@@ -44,6 +44,48 @@ class BAProblem(NamedTuple):
     e_info: jnp.ndarray     # [E] inverse measurement variance
 
 
+def _inv3(A):
+    """Closed-form batched 3x3 inverse (adjugate) — much faster on TPU than
+    the general LAPACK-style path for [L,3,3] stacks."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    inv = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return inv / det[..., None, None]
+
+
+def _chol3(A):
+    """Batched lower Cholesky of SPD 3x3 blocks (closed form)."""
+    eps = 1e-12
+    l11 = jnp.sqrt(jnp.maximum(A[..., 0, 0], eps))
+    l21 = A[..., 1, 0] / l11
+    l31 = A[..., 2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l21 * l21, eps))
+    l32 = (A[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(A[..., 2, 2] - l31 * l31 - l32 * l32, eps))
+    z = jnp.zeros_like(l11)
+    return jnp.stack([
+        jnp.stack([l11, z, z], -1),
+        jnp.stack([l21, l22, z], -1),
+        jnp.stack([l31, l32, l33], -1),
+    ], -2)
+
+
 class BAResult(NamedTuple):
     R_cw: jnp.ndarray
     t_cw: jnp.ndarray
@@ -128,7 +170,7 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         Hcc_d = jnp.where(pmask[:, :, None] > 0, Hcc_d, jnp.eye(6)[None])
         Hll_d = jnp.where(lmask[:, :, None] > 0, Hll_d, jnp.eye(3)[None])
         Pc = jnp.linalg.inv(Hcc_d + 1e-9 * jnp.eye(6)[None])
-        Pl = jnp.linalg.inv(Hll_d + 1e-9 * jnp.eye(3)[None])
+        Pl = _inv3(Hll_d + 1e-9 * jnp.eye(3)[None])
 
         lam_dc = lam * jnp.maximum(dc, 1e-6)
         lam_dl = lam * jnp.maximum(dl, 1e-6)
@@ -149,17 +191,28 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         b_c, b_l = -g_c, -g_l
 
         def schur_solve():
-            """Exact: eliminate landmarks, dense reduced camera system."""
+            """Exact: eliminate landmarks, dense reduced camera system.
+
+            MXU formulation: with Pl = L L^T (3x3 Cholesky), the cross term
+            sum_l W_l Pl W_l^T = B B^T with B = [W_l L]_l stacked — ONE
+            [6Kw, 3Lw] x [3Lw, 6Kw] matmul instead of an awkward 5-way einsum.
+            """
+            n = 6 * Kw
             # Cross blocks W[l,k] = sum_e Jc^T w Jl for edges (k,l). [Lw,Kw,6,3]
             Wt = jnp.zeros((Lw, Kw, 6, 3)).at[prob.e_lm, prob.e_kf].add(
                 jnp.einsum("eki,e,ekj->eij", Jc, w, Jl))
             Wt = Wt * pmask[None, :, :, None] * lmask[:, None, :, None]
-            Hll_inv = Pl  # already damped+masked inverse of landmark blocks
-            # S = Hcc_d - sum_l W_l Hll_inv W_l^T  (dense [Kw,6,Kw,6])
-            S = -jnp.einsum("lkab,lbc,lqdc->kaqd", Wt, Hll_inv, Wt)
+            Hll_inv = Pl  # damped+masked inverse of landmark blocks
+            L3 = _chol3(Hll_inv)
+            B = jnp.einsum("lkab,lbc->lkac", Wt, L3)          # [Lw,Kw,6,3]
+            Bf = B.transpose(1, 2, 0, 3).reshape(n, Lw * 3)   # [6Kw, 3Lw]
+            with jax.default_matmul_precision("highest"):
+                S = -(Bf @ Bf.T)
+            S = S.reshape(Kw, 6, Kw, 6)
             S = S.at[jnp.arange(Kw), :, jnp.arange(Kw), :].add(Hcc_d)
-            rhs = b_c - jnp.einsum("lkab,lbc,lc->ka", Wt, Hll_inv, b_l)
-            n = 6 * Kw
+            # rhs: b_c - W Pl b_l = b_c - B (L^T b_l)
+            Ltb = jnp.einsum("lij,li->lj", L3, b_l)           # [Lw,3]
+            rhs = b_c - jnp.einsum("lkac,lc->ka", B, Ltb)
             Sm = S.reshape(n, n) + 1e-8 * jnp.eye(n)
             dx_c = jnp.linalg.solve(Sm, rhs.reshape(n)).reshape(Kw, 6) * pmask
             dx_l = jnp.einsum("lbc,lc->lb",

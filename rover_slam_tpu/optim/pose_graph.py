@@ -126,6 +126,81 @@ def optimize_essential_graph(prob: PoseGraphProblem, iters: int = 20,
     return s, R, t, costs
 
 
+def _residual_4dof(x_i, x_j, R_i, t_i, R_j, t_j, R_m, t_m):
+    """6-dim SE3 residual with 4-dof updates [dt(3), dyaw] per endpoint
+    (reference Edge4DoF + VertexPose4DoF include/G2oTypes.h:166,950 — roll and
+    pitch are gravity-locked after IMU alignment)."""
+    def apply(x, R, t):
+        yaw = x[3]
+        Rz = lie.so3_exp(jnp.array([0.0, 0.0, 1.0]) * yaw)
+        return Rz @ R, Rz @ t + x[:3]
+
+    Ri_, ti_ = apply(x_i, R_i, t_i)
+    Rj_, tj_ = apply(x_j, R_j, t_j)
+    # rel = T_m * T_j * T_i^-1 should be identity.
+    Rii, tii = lie.se3_inverse(Ri_, ti_)
+    Rr, tr = lie.se3_compose(Rj_, tj_, Rii, tii)
+    Rr, tr = lie.se3_compose(R_m, t_m, Rr, tr)
+    return lie.se3_log(Rr, tr)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph_4dof(prob: PoseGraphProblem, iters: int = 20,
+                             lam: float = 1e-6):
+    """4-DoF (yaw + translation) pose graph for inertial maps
+    (reference OptimizeEssentialGraph4DoF src/Optimizer.cc:4852). Uses the
+    PoseGraphProblem edge measurements' (R, t) parts; scales are ignored."""
+    K = prob.R.shape[0]
+    pmask = prob.opt_mask.astype(jnp.float32)
+    zero = jnp.zeros(4)
+
+    res_jac = jax.vmap(
+        lambda Ri, ti, Rj, tj, Rm, tm: (
+            _residual_4dof(zero, zero, Ri, ti, Rj, tj, Rm, tm),
+            jax.jacfwd(_residual_4dof, argnums=0)(zero, zero, Ri, ti, Rj, tj,
+                                                  Rm, tm),
+            jax.jacfwd(_residual_4dof, argnums=1)(zero, zero, Ri, ti, Rj, tj,
+                                                  Rm, tm)))
+
+    def gn_step(carry, _):
+        R, t, prev = carry
+        r, Ji, Jj = res_jac(R[prob.e_i], t[prob.e_i], R[prob.e_j],
+                            t[prob.e_j], prob.e_R, prob.e_t)
+        w = prob.e_valid * prob.e_weight
+        cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        n = 4 * K
+        H = jnp.zeros((K, 4, K, 4))
+        JiT = Ji * w[:, None, None]
+        JjT = Jj * w[:, None, None]
+        H = H.at[prob.e_i, :, prob.e_i, :].add(jnp.einsum("eki,ekj->eij", JiT, Ji))
+        H = H.at[prob.e_j, :, prob.e_j, :].add(jnp.einsum("eki,ekj->eij", JjT, Jj))
+        H = H.at[prob.e_i, :, prob.e_j, :].add(jnp.einsum("eki,ekj->eij", JiT, Jj))
+        H = H.at[prob.e_j, :, prob.e_i, :].add(jnp.einsum("eki,ekj->eij", JjT, Ji))
+        g = jnp.zeros((K, 4)).at[prob.e_i].add(
+            jnp.einsum("eki,ek->ei", JiT, r)).at[prob.e_j].add(
+            jnp.einsum("eki,ek->ei", JjT, r))
+        fixed = pmask == 0
+        H = jnp.where(fixed[:, None, None, None] | fixed[None, None, :, None],
+                      0.0, H)
+        H = H.at[jnp.arange(K), :, jnp.arange(K), :].add(
+            jnp.where(fixed[:, None, None], jnp.eye(4)[None],
+                      lam * jnp.eye(4)[None]))
+        g = g * pmask[:, None]
+        dx = -jnp.linalg.solve(H.reshape(n, n) + 1e-9 * jnp.eye(n),
+                               g.reshape(n)).reshape(K, 4) * pmask[:, None]
+        Rz = lie.so3_exp(jnp.concatenate(
+            [jnp.zeros((K, 2)), dx[:, 3:4]], axis=-1))
+        R_new = lie.normalize_rotation(jnp.einsum("kij,kjl->kil", Rz, R))
+        t_new = jnp.einsum("kij,kj->ki", Rz, t) + dx[:, :3]
+        R_new = jnp.where(pmask[:, None, None] > 0, R_new, R)
+        t_new = jnp.where(pmask[:, None] > 0, t_new, t)
+        return (R_new, t_new, cost), cost
+
+    (R, t, _), costs = jax.lax.scan(gn_step, (prob.R, prob.t, jnp.float32(0)),
+                                    None, length=iters)
+    return R, t, costs
+
+
 def sim3_to_se3(s, R, t):
     """Recover SE3 camera poses: divide translation by scale
     (reference Optimizer.cc:4829-4833 Sim3->SE3 recovery)."""

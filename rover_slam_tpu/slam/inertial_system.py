@@ -76,8 +76,17 @@ class MonocularInertialSLAM(MonocularSLAM):
     """Monocular + IMU. Call `feed_imu(acc, gyro, t)` between frames."""
 
     def __init__(self, cam_params, imu_calib: preint.ImuCalib,
-                 tinit_s: float = 2.0, **kw):
+                 tinit_s: float = 2.0, vi_ba_every: int = 0,
+                 refine_every: int = 10, **kw):
+        """vi_ba_every: run temporal-window VI-BA every N keyframes (0 = off).
+        NOTE: the VI-BA writeback currently degrades visual pose quality on
+        synthetic runs (ablation: init-only metric ATE 4 cm vs 1.5 m with
+        per-KF VI-BA) — information-weight tuning is round-2 work, so the
+        default is off; the IMU still provides prediction, gravity, scale and
+        metric alignment through the staged init + periodic refinement."""
         super().__init__(cam_params, **kw)
+        self.vi_ba_every = vi_ba_every
+        self.refine_every = refine_every
         self.calib = imu_calib
         self.tinit_s = tinit_s
         self.imu_ready = False          # IMU initialized (gravity/scale known)
@@ -158,6 +167,16 @@ class MonocularInertialSLAM(MonocularSLAM):
                 and self.n_kf >= 6 and len(self._kf_preints) >= self.n_kf - 1
                 and self._elapsed_kf_time() >= self.tinit_s):
             self._initialize_imu()
+        elif (self.imu_ready and self.tracking_state == T.OK
+                and self.refine_every > 0
+                and self.n_kf - self._last_refine_kf >= self.refine_every):
+            # Periodic scale/gravity refinement (reference ScaleRefinement).
+            # Must run HERE, after track_frame completed, so the alignment is
+            # applied to the CURRENT frame's pose — inside _insert_keyframe the
+            # current frame would keep a stale-scale pose and tracking
+            # collapses on the next projection search.
+            self._refine_scale()
+            self._last_refine_kf = self.n_kf
         info["imu_ready"] = self.imu_ready
         return info
 
@@ -196,14 +215,10 @@ class MonocularInertialSLAM(MonocularSLAM):
             self._kf_preints.append(seg)
         self._preint_since_kf = None
         super()._insert_keyframe(frame)
-        if self.imu_ready and self.n_kf >= 3:
+        if (self.vi_ba_every > 0 and self.imu_ready and self.n_kf >= 3
+                and self.n_kf % self.vi_ba_every == 0):
             with self.timers.stage("vi_ba"):
                 self._run_vi_ba()
-            # Periodic scale/gravity refinement over a growing window
-            # (reference LocalMapping::ScaleRefinement, src/LocalMapping.cc:2034).
-            if self.n_kf - self._last_refine_kf >= 10:
-                self._refine_scale()
-                self._last_refine_kf = self.n_kf
 
     def _run_vi_ba(self, window: int = 8):
         """Temporal-window VI-BA after each keyframe (reference LocalInertialBA
@@ -288,7 +303,7 @@ class MonocularInertialSLAM(MonocularSLAM):
         prob = self._build_init_problem(list(range(lo, self.n_kf)), segs)
         res = ii.inertial_only_optimization(prob, prior_g=1e2, prior_a=1e6)
         s = float(res.scale)
-        if not np.isfinite(s) or not (0.5 < s < 2.0):
+        if not np.isfinite(s) or not (0.25 < s < 4.0):
             return  # alignment should already be close; reject wild estimates
         v_full = self.state.kf_v_wb.at[jnp.asarray(range(lo, self.n_kf))] \
             .set(res.v_wb)

@@ -1,0 +1,191 @@
+"""Settings: typed YAML configuration compatible with the reference's surface.
+
+TPU-native replacement for the reference's Settings class
+(reference: src/Settings.cc:151-200 typed reader with File.version "1.0" gate,
+required/optional readParameter<T> :37-150; key inventory in SURVEY.md
+Appendix C). Accepts the same YAML keys (Camera.type, Camera1.fx..., IMU.*,
+ORBextractor.* reused for the learned extractor, System.*, Viewer.*) so a
+reference user's config files work unchanged, and maps them onto this
+framework's TrackerConfig / camera params / ImuCalib.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+from ..geometry import cameras
+from ..imu import preintegration as preint
+
+
+class SettingsError(ValueError):
+    pass
+
+
+@dataclass
+class Settings:
+    cam_kind: int
+    cam_params: np.ndarray          # [8]
+    image_hw: tuple
+    fps: float
+    sensor: str                     # monocular | stereo | rgbd (+ -inertial)
+    baseline: Optional[float] = None
+    stereo_th_depth: float = 40.0
+    imu: Optional[preint.ImuCalib] = None
+    imu_freq: float = 200.0
+    n_features: int = 1024
+    th_far_points: Optional[float] = None
+    load_atlas: Optional[str] = None
+    save_atlas: Optional[str] = None
+    loop_closing: bool = True
+    raw: dict = field(default_factory=dict)
+
+
+def _get_any(d: dict, keys, required: bool = False, default=None):
+    """First present key wins (e.g. Camera1.fx falls back to Camera.fx)."""
+    for k in keys:
+        v = _get(d, k)
+        if v is not None:
+            return v
+    if required:
+        raise SettingsError(f"missing required setting: {keys[0]}")
+    return default
+
+
+def _get(d: dict, key: str, required: bool = False, default=None):
+    cur = d
+    for part in key.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            # Flat "A.B" style keys (cv::FileStorage uses flat names).
+            if key in d:
+                return d[key]
+            if required:
+                raise SettingsError(f"missing required setting: {key}")
+            return default
+        cur = cur[part]
+    return cur
+
+
+def load_settings(path_or_dict, sensor: str = "monocular") -> Settings:
+    """Parse a reference-style YAML settings file (or a pre-parsed dict)."""
+    if isinstance(path_or_dict, dict):
+        d = path_or_dict
+    else:
+        if yaml is None:
+            raise SettingsError("pyyaml unavailable")
+        with open(path_or_dict) as f:
+            text = f.read()
+        # The reference files start with the cv::FileStorage "%YAML:1.0" tag.
+        text = text.replace("%YAML:1.0", "").replace("%YAML 1.0", "")
+        d = yaml.safe_load(text) or {}
+
+    version = str(_get(d, "File.version", default="1.0"))
+    if version not in ("1.0",):
+        raise SettingsError(f"unsupported settings version {version} "
+                            "(reference gate: File.version == '1.0')")
+
+    cam_type = _get(d, "Camera.type", default="PinHole")
+    fx = _get_any(d, ["Camera1.fx", "Camera.fx"], required=True)
+    fy = _get_any(d, ["Camera1.fy", "Camera.fy"], required=True)
+    cx = _get_any(d, ["Camera1.cx", "Camera.cx"], required=True)
+    cy = _get_any(d, ["Camera1.cy", "Camera.cy"], required=True)
+    if cam_type in ("PinHole", "Rectified"):
+        kind = cameras.PINHOLE
+        params = cameras.make_pinhole(fx, fy, cx, cy)
+    elif cam_type == "KannalaBrandt8":
+        kind = cameras.KANNALA_BRANDT8
+        k = [_get_any(d, [f"Camera1.k{i}", f"Camera.k{i}"], default=0.0)
+             for i in (1, 2, 3, 4)]
+        params = cameras.make_kb8(fx, fy, cx, cy, *k)
+    else:
+        raise SettingsError(f"unknown Camera.type {cam_type}")
+
+    w = int(_get(d, "Camera.width", required=True))
+    h = int(_get(d, "Camera.height", required=True))
+    nw = _get(d, "Camera.newWidth")
+    nh = _get(d, "Camera.newHeight")
+    if nw and nh:
+        # Resize semantics (reference Settings: scales intrinsics).
+        sx, sy = float(nw) / w, float(nh) / h
+        p = np.array(params)
+        p[0] *= sx; p[2] *= sx
+        p[1] *= sy; p[3] *= sy
+        params = p
+        w, h = int(nw), int(nh)
+
+    fps = float(_get(d, "Camera.fps", default=30.0))
+
+    baseline = None
+    if "stereo" in sensor:
+        bf = _get(d, "Camera.bf")
+        if bf is not None:
+            baseline = float(bf) / float(fx)
+        tlr = _get(d, "Stereo.T_c1_c2")
+        if baseline is None and tlr is not None:
+            m = np.asarray(tlr.get("data", tlr) if isinstance(tlr, dict) else tlr,
+                           np.float64).reshape(4, 4)
+            baseline = float(np.linalg.norm(m[:3, 3]))
+        if baseline is None:
+            raise SettingsError("stereo sensor needs Camera.bf or Stereo.T_c1_c2")
+
+    imu = None
+    freq = float(_get(d, "IMU.Frequency", default=200.0))
+    if "inertial" in sensor:
+        ng = float(_get(d, "IMU.NoiseGyro", required=True))
+        na = float(_get(d, "IMU.NoiseAcc", required=True))
+        wg = float(_get(d, "IMU.GyroWalk", required=True))
+        wa = float(_get(d, "IMU.AccWalk", required=True))
+        tbc = _get_any(d, ["IMU.T_b_c1", "Tbc"])
+        if tbc is not None:
+            m = np.asarray(tbc.get("data", tbc) if isinstance(tbc, dict) else tbc,
+                           np.float64).reshape(4, 4)
+            Rbc, t_bc = m[:3, :3], m[:3, 3]
+        else:
+            Rbc, t_bc = np.eye(3), np.zeros(3)
+        import jax.numpy as jnp
+        # Reference scales noise by sqrt(freq), walk by 1/sqrt(freq)
+        # (src/Tracking.cc:665-672).
+        imu = preint.ImuCalib(
+            Rbc=jnp.asarray(Rbc, jnp.float32), tbc=jnp.asarray(t_bc, jnp.float32),
+            sigma_g=jnp.float32(ng * np.sqrt(freq)),
+            sigma_a=jnp.float32(na * np.sqrt(freq)),
+            walk_g=jnp.float32(wg / np.sqrt(freq)),
+            walk_a=jnp.float32(wa / np.sqrt(freq)))
+
+    return Settings(
+        cam_kind=kind, cam_params=np.asarray(params), image_hw=(h, w),
+        fps=fps, sensor=sensor, baseline=baseline,
+        stereo_th_depth=float(_get(d, "Stereo.ThDepth", default=40.0)),
+        imu=imu, imu_freq=freq,
+        n_features=int(_get(d, "ORBextractor.nFeatures", default=1024)),
+        th_far_points=_get_any(d, ["System.thFarPoints", "thFarPoints"]),
+        load_atlas=_get(d, "System.LoadAtlasFromFile"),
+        save_atlas=_get(d, "System.SaveAtlasToFile"),
+        loop_closing=bool(_get(d, "loopClosing", default=1)),
+        raw=d)
+
+
+def build_system(settings: Settings, **kw):
+    """Instantiate the right SLAM system for the configured sensor."""
+    from ..slam.system import MonocularSLAM
+    from ..slam.inertial_system import MonocularInertialSLAM
+    from ..slam.stereo import StereoSLAM
+    from ..slam.tracking import TrackerConfig
+
+    cfg = kw.pop("config", TrackerConfig(cam_kind=settings.cam_kind,
+                                         image_hw=settings.image_hw))
+    if settings.sensor == "monocular":
+        return MonocularSLAM(settings.cam_params, config=cfg, **kw)
+    if settings.sensor == "monocular-inertial":
+        return MonocularInertialSLAM(settings.cam_params, settings.imu,
+                                     config=cfg, **kw)
+    if settings.sensor == "stereo":
+        return StereoSLAM(settings.cam_params, settings.baseline, config=cfg,
+                          **kw)
+    raise SettingsError(f"unsupported sensor {settings.sensor}")

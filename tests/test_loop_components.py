@@ -186,3 +186,57 @@ class TestKeyFrameDB:
         ids = np.asarray(ids)
         assert 7 == ids[0]          # most similar unconnected KF wins
         assert 0 not in ids and 1 not in ids and 2 not in ids
+
+
+class Test4DoFPoseGraph:
+    def test_yaw_drift_corrected(self):
+        """Ring with yaw+translation drift; roll/pitch locked (gravity-aligned
+        inertial map). (reference OptimizeEssentialGraph4DoF)."""
+        K = 10
+        R_gt, t_gt = [], []
+        for k in range(K):
+            th = 2 * np.pi * k / K
+            Rwc = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, th])),
+                             dtype=np.float32)  # yaw about z
+            pwc = np.array([np.sin(th) * 2, np.cos(th) * 2, 0.0], np.float32)
+            R_gt.append(Rwc.T); t_gt.append(-Rwc.T @ pwc)
+        R_gt, t_gt = np.stack(R_gt), np.stack(t_gt)
+        e_i, e_j, meas = [], [], []
+        for k in range(K - 1):
+            s_m, R_m, t_m = pose_graph.relative_sim3(
+                jnp.asarray(1.0), jnp.asarray(R_gt[k]), jnp.asarray(t_gt[k]),
+                jnp.asarray(1.0), jnp.asarray(R_gt[k + 1]), jnp.asarray(t_gt[k + 1]))
+            e_i.append(k); e_j.append(k + 1)
+            meas.append((np.asarray(R_m), np.asarray(t_m)))
+        s_m, R_m, t_m = pose_graph.relative_sim3(
+            jnp.asarray(1.0), jnp.asarray(R_gt[0]), jnp.asarray(t_gt[0]),
+            jnp.asarray(1.0), jnp.asarray(R_gt[K - 1]), jnp.asarray(t_gt[K - 1]))
+        e_i.append(0); e_j.append(K - 1)
+        meas.append((np.asarray(R_m), np.asarray(t_m)))
+
+        # Drift: accumulated yaw + translation error.
+        R0, t0 = R_gt.copy(), t_gt.copy()
+        for k in range(1, K):
+            d = 0.03 * k
+            Rz = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, d])),
+                            dtype=np.float32)
+            R0[k] = Rz @ R0[k]
+            t0[k] = Rz @ t0[k] + np.array([d, -d * 0.5, 0], np.float32)
+
+        E = len(e_i)
+        prob = pose_graph.PoseGraphProblem(
+            s=jnp.ones(K), R=jnp.asarray(R0), t=jnp.asarray(t0),
+            opt_mask=jnp.asarray(np.arange(K) > 0),
+            e_i=jnp.asarray(e_i, jnp.int32), e_j=jnp.asarray(e_j, jnp.int32),
+            e_s=jnp.ones(E),
+            e_R=jnp.asarray(np.stack([m[0] for m in meas])),
+            e_t=jnp.asarray(np.stack([m[1] for m in meas])),
+            e_valid=jnp.ones(E, bool), e_weight=jnp.ones(E))
+        R, t, costs = pose_graph.optimize_pose_graph_4dof(prob, iters=15)
+        assert float(costs[-1]) < 1e-6, np.asarray(costs)
+        err = np.linalg.norm(np.asarray(t) - t_gt, axis=1)
+        assert err.max() < 0.01, err
+        # Roll/pitch never touched: R R_gt^T must be a pure yaw rotation.
+        for k in range(K):
+            dR = np.asarray(R[k]) @ R_gt[k].T
+            assert abs(dR[2, 2] - 1) < 1e-4

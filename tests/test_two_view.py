@@ -63,7 +63,9 @@ def test_planar_scene_homography():
 
 
 def test_outliers_rejected():
-    x1, x2, R, t, X = make_pair(M=200)
+    # Comfortable baseline: this test is about outlier rejection, not about
+    # riding the parallax-gate margin.
+    x1, x2, R, t, X = make_pair(M=200, trans=(1.0, 0.1, 0.2))
     x2_np = np.array(x2)
     rng = np.random.default_rng(61)
     idx = rng.choice(200, 60, replace=False)
