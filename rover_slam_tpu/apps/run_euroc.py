@@ -1,0 +1,100 @@
+"""CLI driver: run SLAM on an EuRoC-format sequence.
+
+The reference's Examples/ mains equivalent (reference: mono_euroc /
+mono_inertial_euroc binaries with positional args voc settings data_dir
+timestamps [imu] [out]; README.md:44-66). The vocabulary argument is gone —
+place recognition needs no trained asset here.
+
+Usage:
+  python -m rover_slam_tpu.apps.run_euroc SETTINGS.yaml MAV0_DIR \
+      [--sensor monocular|monocular-inertial|stereo] [--out traj.txt] \
+      [--superpoint-ckpt superpoint_v1.pth] [--max-frames N]
+
+Images are decoded + prefetched by the native C++ runtime; SuperPoint runs
+batched on the TPU; the trajectory is written in TUM format and, if ground
+truth is given, scored with the scale-aligned Horn ATE protocol.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models.superpoint import SuperPointExtractor, load_torch_weights
+from ..geometry import cameras
+from ..utils import dataset, trajectory
+from ..utils.config import load_settings, build_system
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("settings")
+    ap.add_argument("data_dir", help="EuRoC mav0/ directory")
+    ap.add_argument("--sensor", default="monocular")
+    ap.add_argument("--out", default="trajectory_tum.txt")
+    ap.add_argument("--superpoint-ckpt", default=None)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--gt", default=None, help="TUM-format ground truth")
+    args = ap.parse_args(argv)
+
+    settings = load_settings(args.settings, sensor=args.sensor)
+    slam = build_system(settings)
+
+    seq = dataset.load_euroc_sequence(args.data_dir)
+    paths = seq["image_paths"][: args.max_frames]
+    t_cam = seq["t_cam"][: len(paths)]
+    pf = dataset.ImagePrefetcher(paths, depth=8)
+
+    h, w = settings.image_hw
+    ext = SuperPointExtractor(
+        params=(load_torch_weights(args.superpoint_ckpt)
+                if args.superpoint_ckpt else None),
+        image_hw=(h, w), max_keypoints=settings.n_features)
+
+    imu_idx = 0
+    t_imu = seq.get("t_imu")
+    t0 = time.time()
+    for i in range(len(paths)):
+        img = pf.get(i).astype(np.float32) / 255.0
+        if img.shape != (h, w):
+            print(f"frame {i}: image {img.shape} != settings {(h, w)}",
+                  file=sys.stderr)
+            return 1
+        out = ext(jnp.asarray(img[None]))
+        kpts = out["keypoints"][0]
+        rays = cameras.unproject(settings.cam_kind,
+                                 jnp.asarray(settings.cam_params), kpts)
+        if t_imu is not None and hasattr(slam, "feed_imu") and i > 0:
+            while imu_idx < len(t_imu) and t_imu[imu_idx] <= t_cam[i]:
+                slam.feed_imu(seq["acc"][imu_idx], seq["gyro"][imu_idx],
+                              t_imu[imu_idx])
+                imu_idx += 1
+        info = slam.track_frame(kpts, rays, out["descriptors"][0],
+                                out["valid"][0], float(t_cam[i] - t_cam[0]))
+        if i % 50 == 0:
+            print(f"frame {i}/{len(paths)} state={info.get('state')} "
+                  f"inliers={info.get('n_inliers')}", file=sys.stderr)
+    wall = time.time() - t0
+    pf.close()
+
+    times_, Rs, ts = slam.get_trajectory()
+    trajectory.save_tum(args.out, times_ + t_cam[0], Rs, ts)
+    print(f"{len(paths)} frames in {wall:.1f}s ({len(paths) / wall:.1f} fps); "
+          f"trajectory -> {args.out}", file=sys.stderr)
+
+    if args.gt:
+        gt_t, gt_p, _ = trajectory.load_tum(args.gt)
+        est_pos = np.stack([-Rs[i].T @ ts[i] for i in range(len(times_))])
+        pairs = trajectory.associate_by_time(times_ + t_cam[0], gt_t)
+        e = np.stack([est_pos[i] for i, _ in pairs])
+        g = np.stack([gt_p[j] for _, j in pairs])
+        rmse, _ = trajectory.ate_rmse(e, g, with_scale="inertial" not in args.sensor)
+        print(f"ATE RMSE: {rmse * 100:.2f} cm over {len(pairs)} poses")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

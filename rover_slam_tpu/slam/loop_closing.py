@@ -185,6 +185,54 @@ def _fuse_after_loop_kernel(state: ms.MapState, kf_q, kf_c, cam_params,
     return state, jnp.sum(do_fuse)
 
 
+@jax.jit
+def _merge_maps_kernel(state: ms.MapState, kf_q, kf_c, s_qc, R_qc, t_qc):
+    """Weld the candidate's map into the query's map
+    (reference LoopClosing::MergeLocal src/LoopClosing.cc:2098: transform the
+    old map's keyframes/landmarks by the Sim3 into the active map's frame,
+    relabel, connect).
+
+    S_qc maps kf_c camera frame -> kf_q camera frame. The transform taking an
+    old-map world point into the active world:
+      T_wq^act <- Tcw_q^-1 * S_qc * Tcw_c  (applied to every old-map entity).
+    """
+    map_c = state.kf_map_id[kf_c]
+    map_q = state.kf_map_id[kf_q]
+    in_old_kf = state.kf_active & (state.kf_map_id == map_c)
+    in_old_lm = state.lm_active & (state.lm_map_id == map_c)
+
+    # World-to-world Sim3: S_w = Tq^-1 * S_qc * Tc  (camera Sim3 lifted).
+    Rq, tq = state.kf_R_cw[kf_q], state.kf_t_cw[kf_q]
+    Rc, tc = state.kf_R_cw[kf_c], state.kf_t_cw[kf_c]
+    # compose: X_q^cam = S_qc (Rc X_w^old + tc); X_w^act = Rq^T (X_q^cam - tq)
+    s_w = s_qc
+    R_w = Rq.T @ R_qc @ Rc
+    t_w = Rq.T @ (s_qc * (R_qc @ tc) + t_qc - tq)
+
+    lm_new = s_w * jnp.einsum("ij,lj->li", R_w, state.lm_pos) + t_w
+    state = state.replace(
+        lm_pos=jnp.where(in_old_lm[:, None], lm_new, state.lm_pos))
+
+    # Keyframe poses: with x_c = R_old x_old + t_old and x_old = S_w^-1 x_act,
+    #   s_w x_c = (R_old R_w^T) x_act + (s_w t_old - R_old R_w^T t_w)
+    # and projection is scale-invariant in x_c, so the equivalent SE3 pose is
+    #   R_new = R_old R_w^T,  t_new = s_w t_old - R_new t_w
+    # (reference CorrectLoop/MergeLocal Sim3->SE3 recovery divides by scale
+    # the same way).
+    R_new = jnp.einsum("kij,jl->kil", state.kf_R_cw, R_w.T)
+    t_new = s_w * state.kf_t_cw - jnp.einsum("kij,j->ki", R_new, t_w)
+    state = state.replace(
+        kf_R_cw=jnp.where(in_old_kf[:, None, None], R_new, state.kf_R_cw),
+        kf_t_cw=jnp.where(in_old_kf[:, None], t_new, state.kf_t_cw),
+        kf_map_id=jnp.where(in_old_kf, map_q, state.kf_map_id),
+        lm_map_id=jnp.where(in_old_lm, map_q, state.lm_map_id),
+        kf_loop_edges=state.kf_loop_edges
+        .at[jnp.minimum(kf_q, kf_c), jnp.maximum(kf_q, kf_c)].set(True)
+        .at[jnp.maximum(kf_q, kf_c), jnp.minimum(kf_q, kf_c)].set(True),
+    )
+    return state
+
+
 class LoopCloser:
     """Host orchestration of loop detection + correction."""
 
@@ -224,6 +272,23 @@ class LoopCloser:
                 continue
             if not bool(res.success) or int(res.n_inliers) < self.cfg.min_sim3_inliers:
                 continue
+            map_q = int(state.kf_map_id[kf_id])
+            map_c = int(state.kf_map_id[int(cand)])
+            if map_q != map_c:
+                # Cross-map place recognition: weld the old map into the
+                # active one (reference MergeLocal / multi-session Atlas).
+                state = _merge_maps_kernel(
+                    state, jnp.asarray(kf_id, jnp.int32),
+                    jnp.asarray(int(cand), jnp.int32), res.s, res.R, res.t)
+                state, n_fused = _fuse_after_loop_kernel(
+                    state, jnp.asarray(kf_id, jnp.int32),
+                    jnp.asarray(int(cand), jnp.int32), self.cam_params,
+                    self.cfg.cam_kind)
+                info = {"loop": True, "merge": True, "candidate": int(cand),
+                        "n_inliers": int(res.n_inliers),
+                        "scale": float(res.s), "n_fused": int(n_fused)}
+                self.loops_closed.append((kf_id, int(cand)))
+                break
             # Accept: correct the graph.
             state, costs = _correct_loop_kernel(
                 state, jnp.asarray(kf_id, jnp.int32),
@@ -235,6 +300,15 @@ class LoopCloser:
                 state, jnp.asarray(kf_id, jnp.int32),
                 jnp.asarray(int(cand), jnp.int32), self.cam_params,
                 self.cfg.cam_kind)
+            if self.cfg.run_gba:
+                # Full-map BA after the pose-graph correction (reference
+                # spawns RunGlobalBundleAdjustment in a detached thread,
+                # src/LoopClosing.cc:2083; here it is one async device
+                # program — dispatch is non-blocking).
+                from ..map import maintenance
+                state = maintenance.global_ba(state, self.cam_params,
+                                              cam_kind=self.cfg.cam_kind,
+                                              iters=self.cfg.gba_iters)
             info = {"loop": True, "candidate": int(cand),
                     "n_inliers": int(res.n_inliers),
                     "scale": float(res.s),

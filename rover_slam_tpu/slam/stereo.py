@@ -156,6 +156,29 @@ class StereoSLAM(MonocularSLAM):
             jnp.asarray(40.0 * self.baseline, jnp.float32))
 
 
+class RGBDSLAM(StereoSLAM):
+    """RGB-D SLAM: per-keypoint depth from the sensor instead of stereo
+    disparity (reference System(..., RGBD): Frame RGBD ctor samples the depth
+    map at keypoints, scaled by RGBD.DepthMapFactor; the rest of the pipeline
+    is the stereo path)."""
+
+    def __init__(self, cam_params, depth_factor: float = 1.0,
+                 max_depth: float = 20.0, **kw):
+        # baseline only sets the far-point gate scale; use max_depth directly.
+        super().__init__(cam_params, baseline=max_depth / 40.0, **kw)
+        self.depth_factor = float(depth_factor)
+
+    def track_rgbd_frame(self, kpts, rays, desc, valid, depth, time) -> dict:
+        """depth: [N] sensor depth at each keypoint (0/negative = invalid)."""
+        depth = jnp.asarray(depth, jnp.float32) / self.depth_factor
+        self._stereo_depth = jnp.where(depth > 0.05, depth, -1.0)
+        if self.tracking_state in (T.NO_IMAGES_YET, T.NOT_INITIALIZED):
+            ok = self._stereo_init(kpts, rays, desc, valid,
+                                   self._stereo_depth, time)
+            return {"state": self.tracking_state, "init": ok}
+        return self.track_frame(kpts, rays, desc, valid, time)
+
+
 @jax.jit
 def _spawn_stereo_landmarks_kernel(state: ms.MapState, kf_id, depth, max_depth):
     """Create landmarks at stereo depth for keypoints without one."""

@@ -93,8 +93,26 @@ class MonocularSLAM:
             frame.R_cw, frame.t_cw, frame.landmark_idx = R2, t2, cur_lm
 
         if not ok:
+            self._lost_frames += 1
             self.tracking_state = T.RECENTLY_LOST
+            if self._lost_frames >= 2 and self.n_kf >= 2:
+                # Global relocalization (reference Relocalization after the
+                # RECENTLY_LOST grace window, src/Tracking.cc:4446).
+                with self.timers.stage("reloc"):
+                    self._rng, key = jax.random.split(self._rng)
+                    Rr, tr, lm_r, ok_r, n_r = T._relocalize_kernel(
+                        self.state, frame.kpts, frame.desc, frame.valid,
+                        self.cam_params, key, self.cfg.cam_kind)
+                    if bool(ok_r):
+                        frame.R_cw, frame.t_cw = Rr, tr
+                        frame.landmark_idx = lm_r
+                        self.tracking_state = T.OK
+                        self._last_n_inl = int(n_r)
+                        self.velocity = None
+                        self._lost_frames = 0
+                        ok = True
         else:
+            self._lost_frames = 0
             self.tracking_state = T.OK
             self._update_motion_model(frame)
 
@@ -130,29 +148,28 @@ class MonocularSLAM:
                                   min_inliers=self.cfg.min_init_matches // 2)
         if not bool(tv.success):
             return False
+        base = int(self.state.n_kf)
         self.state, lm_idx1, scale = T._init_map_kernel(
             self.state, f0.kpts, f0.rays, f0.desc, f0.valid,
             frame.kpts, frame.rays, frame.desc, frame.valid,
             f0.time, frame.time, matches,
             tv.success, tv.R_21, tv.t_21, tv.points3d, tv.is_triangulated,
             self.cam_params, self.cfg.cam_kind)
-        self.n_kf = 2
+        self.n_kf = base + 2
         # Init BA over the two keyframes (reference GlobalBundleAdjustemnt(20)).
-        window = jnp.asarray([0, 1] + [-1] * (self.cfg.local_window +
-                                              self.cfg.fixed_window - 2),
-                             jnp.int32)
-        opt_mask = jnp.asarray([False, True] + [False] *
-                               (self.cfg.local_window + self.cfg.fixed_window - 2))
+        pad = self.cfg.local_window + self.cfg.fixed_window - 2
+        window = jnp.asarray([base, base + 1] + [-1] * pad, jnp.int32)
+        opt_mask = jnp.asarray([False, True] + [False] * pad)
         self.state = T._local_ba_kernel(self.state, window, opt_mask,
                                         self.cam_params, self.cfg.cam_kind,
                                         iters=12)
-        frame.R_cw = self.state.kf_R_cw[1]
-        frame.t_cw = self.state.kf_t_cw[1]
-        frame.landmark_idx = self.state.kf_landmark_idx[1]
+        frame.R_cw = self.state.kf_R_cw[base + 1]
+        frame.t_cw = self.state.kf_t_cw[base + 1]
+        frame.landmark_idx = self.state.kf_landmark_idx[base + 1]
         f0.R_cw, f0.t_cw = jnp.eye(3), jnp.zeros(3)
         self.tracking_state = T.OK
-        self.ref_kf_tracked = int(T._count_kf_obs(self.state,
-                                                  jnp.asarray(1, jnp.int32)))
+        self.ref_kf_tracked = int(T._count_kf_obs(
+            self.state, jnp.asarray(base + 1, jnp.int32)))
         self._last_n_inl = self.ref_kf_tracked
         self.velocity = None
         self.frames_since_kf = 0
@@ -183,6 +200,7 @@ class MonocularSLAM:
                                          frame.R_cw, frame.t_cw)
 
     _last_n_inl = 0
+    _lost_frames = 0
 
     def _track_motion_model(self, frame, R0, t0):
         prev = self.last_frame

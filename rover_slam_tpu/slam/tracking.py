@@ -53,7 +53,10 @@ class TrackerConfig:
     kf_tracked_ratio: float = 0.9     # c2 policy (reference :3848)
     local_window: int = 8             # optimized KFs in local BA
     fixed_window: int = 8             # fixed anchor KFs in local BA
-    ba_iters: int = 8
+    ba_iters: int = 5
+    ba_every: int = 2  # run local BA every Nth keyframe (reference aborts LBA
+                       # under queue pressure — mbAbortBA — so skipping under
+                       # load is faithful)
     init_depth_scale: bool = True     # rescale init map to median depth 1
 
 
@@ -149,12 +152,14 @@ def _init_map_kernel(state: ms.MapState, f0_kpts, f0_rays, f0_desc, f0_valid,
     X = points3d * scale
     t21s = t_21 * scale
 
-    # Add landmarks for triangulated matches.
+    # Add landmarks for triangulated matches. Keyframes go at the next free
+    # slots (NOT 0/1 — re-initialization into a fresh Atlas map starts from a
+    # non-empty table, reference CreateMapInAtlas).
+    base = state.n_kf
     normals = X / jnp.maximum(jnp.linalg.norm(X, axis=-1, keepdims=True), 1e-9)
     state, slots = ms.add_landmarks(state, X, f0_desc, normals,
-                                    jnp.zeros((N,), jnp.int32), is_tri)
+                                    jnp.full((N,), base, jnp.int32), is_tri)
 
-    # KF0 at identity.
     lm_idx0 = jnp.where(slots >= 0, slots, -1)
     state, k0 = ms.add_keyframe(state, jnp.eye(3), jnp.zeros(3),
                                 f0_kpts, f0_rays, f0_desc, f0_valid,
@@ -165,7 +170,7 @@ def _init_map_kernel(state: ms.MapState, f0_kpts, f0_rays, f0_desc, f0_valid,
         jnp.where((matches01 >= 0) & (slots >= 0), slots, -1), mode="drop")
     state, k1 = ms.add_keyframe(state, R_21, t21s,
                                 f1_kpts, f1_rays, f1_desc, f1_valid,
-                                lm_idx1, t1, parent=0)
+                                lm_idx1, t1, parent=k0)
     return state, lm_idx1, scale
 
 
@@ -370,10 +375,12 @@ def _track_step_kernel(state: ms.MapState,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cam_kind", "n_opt", "n_fixed", "ba_iters"))
+                   static_argnames=("cam_kind", "n_opt", "n_fixed", "ba_iters",
+                                    "run_ba"))
 def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
                             lidx, time, parent, cam_params, cam_kind,
-                            n_opt: int, n_fixed: int, ba_iters: int):
+                            n_opt: int, n_fixed: int, ba_iters: int,
+                            run_ba: bool = True):
     """ONE fused keyframe-insertion program: add KF -> covisibility -> new-point
     triangulation against the top-2 covisible neighbors -> windowed local BA
     with writeback. (The reference queues the same work to its LocalMapping
@@ -396,13 +403,38 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     state, n_new0 = tri(state, 0)
     state, n_new1 = tri(state, 1)
 
-    window, opt_mask = _covis_window(state, kf_id, n_opt, n_fixed)
-    state = _local_ba_body(state, window, opt_mask, cam_params, cam_kind,
-                           ba_iters)
+    if run_ba:
+        window, opt_mask = _covis_window(state, kf_id, n_opt, n_fixed)
+        state = _local_ba_body(state, window, opt_mask, cam_params, cam_kind,
+                               ba_iters)
     n_obs = jnp.sum((state.kf_landmark_idx[kf_id] >= 0)
                     & state.kf_kpt_valid[kf_id])
     scalars = jnp.stack([kf_id, n_new0, n_new1, n_obs])
     return state, scalars
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind",))
+def _relocalize_kernel(state: ms.MapState, cur_kpts, cur_desc, cur_valid,
+                       cam_params, key, cam_kind):
+    """Global relocalization: match the lost frame's descriptors against the
+    WHOLE landmark table (one matmul) and solve PnP RANSAC.
+
+    (reference Tracking::Relocalization src/Tracking.cc:4446-4672 goes through
+    BoW candidate keyframes + per-candidate matching + MLPnP; with the map
+    device-resident the global descriptor match is a single MXU op, so no
+    candidate narrowing is needed.)
+    Returns (R, t, cur_lm [N], ok, n_inliers)."""
+    from ..optim import pnp
+    matches, _ = assoc.mutual_nn_match(
+        cur_desc, cur_valid, state.lm_desc.astype(jnp.float32),
+        state.lm_active, ratio=0.8)
+    L = state.L
+    m = jnp.clip(matches, 0, L - 1)
+    ok_m = matches >= 0
+    res = pnp.pnp_ransac(state.lm_pos[m], cur_kpts, ok_m, cam_params, key,
+                         cam_kind=cam_kind)
+    cur_lm = jnp.where(res.inliers & ok_m, matches, -1)
+    return res.R_cw, res.t_cw, cur_lm, res.success, res.n_inliers
 
 
 # --- small jitted wrappers so the host loop never dispatches eager ops

@@ -68,3 +68,73 @@ def test_stage_timers_populated(run_result):
     slam, _, _ = run_result
     s = slam.timers.summary()
     assert "lm_track" in s and "new_kf" in s
+
+
+def test_relocalization_after_kidnap():
+    """Kidnapped-robot: feed garbage frames to force loss, then return to a
+    mapped view — the tracker must relocalize via global match + PnP
+    (reference Tracking::Relocalization)."""
+    world = synthetic.make_world(n_landmarks=3000, desc_dim=64, seed=0)
+    R_gt, t_gt, times = synthetic.forward_trajectory(
+        n_frames=30, dt=0.1, speed=0.6, yaw_rate=0.04)
+    frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=512,
+                                       pix_noise=0.4, desc_noise=0.05)
+    slam = MonocularSLAM(world.cam_params, map_capacity=(64, 512, 8192),
+                         desc_dim=64)
+    for f in frames[:20]:
+        slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time)
+    assert slam.tracking_state == T.OK
+    # Kidnap: 4 frames of random garbage.
+    rng = np.random.default_rng(99)
+    for k in range(4):
+        kpts = rng.uniform(20, 400, (512, 2)).astype(np.float32)
+        desc = rng.normal(size=(512, 64)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        rays = np.concatenate([kpts * 0.001, np.ones((512, 1))], 1).astype(np.float32)
+        slam.track_frame(kpts, rays, desc, np.ones(512, bool), 2.0 + 0.1 * k)
+    assert slam.tracking_state == T.RECENTLY_LOST
+    # Return to a previously-mapped view (frame 10's observation).
+    f = frames[10]
+    info = slam.track_frame(f.kpts, f.rays, f.desc, f.valid, 3.0)
+    assert info["state"] == T.OK, "relocalization failed"
+    # Pose close to the original frame-10 estimate (same scaled world).
+    pos = -np.asarray(info["pose"][0]).T @ np.asarray(info["pose"][1])
+    R10, t10, _, _ = [np.asarray(x) for x in
+                      (slam.trajectory[10][1], slam.trajectory[10][2], 0, 0)]
+    pos10 = -R10.T @ t10
+    assert np.linalg.norm(pos - pos10) < 0.05
+
+
+def test_fisheye_kb8_e2e():
+    """Monocular SLAM with a KannalaBrandt8 fisheye camera (TUM-VI-style
+    config; reference KannalaBrandt8 + Settings Camera.type)."""
+    from rover_slam_tpu.geometry import cameras as cam_mod
+    from rover_slam_tpu.slam.tracking import TrackerConfig
+    kb8 = np.asarray(cam_mod.make_kb8(190.978, 190.973, 254.932, 256.897,
+                                      0.00348238, 0.000715034, -0.00205323,
+                                      0.000202936))
+    world = synthetic.SyntheticWorld(
+        landmarks=synthetic.make_world(3000, 64, seed=8).landmarks,
+        desc=synthetic.make_world(3000, 64, seed=8).desc,
+        cam_params=kb8, cam_kind=cam_mod.KANNALA_BRANDT8,
+        image_hw=(512, 512))
+    R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=30, dt=0.1,
+                                                     speed=0.6, yaw_rate=0.04)
+    frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=512,
+                                       pix_noise=0.4, desc_noise=0.05)
+    slam = MonocularSLAM(world.cam_params,
+                         config=TrackerConfig(
+                             cam_kind=cam_mod.KANNALA_BRANDT8,
+                             image_hw=(512, 512)),
+                         map_capacity=(64, 512, 8192), desc_dim=64)
+    for f in frames:
+        slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time)
+    assert slam.tracking_state == T.OK
+    est_t, est_R, est_tcw = slam.get_trajectory()
+    est_pos = np.stack([-est_R[i].T @ est_tcw[i] for i in range(len(est_t))])
+    gt_pos = np.stack([-R_gt[i].T @ t_gt[i] for i in range(len(times))])
+    pairs = trajectory.associate_by_time(est_t, times)
+    e = np.stack([est_pos[i] for i, _ in pairs])
+    g = np.stack([gt_pos[j] for _, j in pairs])
+    rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
+    assert rmse < 0.06, f"KB8 ATE RMSE {rmse:.4f} m"

@@ -163,3 +163,28 @@ class TestAtlas:
             f.write(b"XXXX")
         with pytest.raises(ValueError, match="checksum"):
             atlas.load_atlas(p)
+
+
+class TestRGBD:
+    def test_metric_tracking(self):
+        world = synthetic.make_world(n_landmarks=4000, desc_dim=64, seed=4)
+        R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=20, dt=0.1,
+                                                         speed=0.5)
+        frames = synthetic.render_sequence(world, R_gt, t_gt, times,
+                                           n_kpts=512, pix_noise=0.4,
+                                           desc_noise=0.05)
+        slam = stereo_mod.RGBDSLAM(world.cam_params, depth_factor=1.0,
+                                   map_capacity=(48, 512, 8192), desc_dim=64)
+        for f in frames:
+            Xc = (f.R_cw @ world.landmarks[np.maximum(f.lm_id, 0)].T).T + f.t_cw
+            depth = np.where(f.lm_id >= 0, Xc[:, 2], -1.0).astype(np.float32)
+            depth += np.random.default_rng(1).normal(0, 0.01, depth.shape)
+            slam.track_rgbd_frame(f.kpts, f.rays, f.desc, f.valid, depth,
+                                  f.time)
+        assert slam.tracking_state == T.OK
+        est_t, est_R, est_tcw = slam.get_trajectory()
+        est_pos = np.stack([-est_R[i].T @ est_tcw[i] for i in range(len(est_t))])
+        gt_pos = np.stack([-R_gt[i].T @ t_gt[i] for i in range(len(times))])
+        L_est = np.linalg.norm(np.diff(est_pos, axis=0), axis=1).sum()
+        L_gt = np.linalg.norm(np.diff(gt_pos[-len(est_pos):], axis=0), axis=1).sum()
+        assert abs(L_est - L_gt) / L_gt < 0.08
