@@ -20,7 +20,9 @@ from . import map_state as ms
 
 @jax.jit
 def cull_landmarks(state: ms.MapState, min_found_ratio: float = 0.05,
-                   min_obs: int = 2, min_age_kf: int = 2) -> ms.MapState:
+                   min_obs: int = 1, min_age_kf: int = 3) -> ms.MapState:
+    # Defaults are softer than the reference's cnThObs=2/age2: per-keyframe
+    # SearchInNeighbors fusion (which grows nObs there) is round-2 work.
     """Deactivate weak landmarks (reference MapPointCulling)."""
     found_ratio = state.lm_found.astype(jnp.float32) / jnp.maximum(
         state.lm_visible.astype(jnp.float32), 1.0)

@@ -50,16 +50,21 @@ def _residual_jac(R, t, cam_kind, cam_params, Xw, uv):
     return e, J, Xc[..., 2]
 
 
-@functools.partial(jax.jit, static_argnames=("cam_kind", "rounds", "iters_per_round"))
+@functools.partial(jax.jit, static_argnames=("cam_kind", "rounds",
+                                             "iters_per_round", "check_cost"))
 def pose_optimization(R_cw, t_cw, Xw, uv, valid, cam_params,
                       cam_kind: int = cameras.PINHOLE,
                       info: jnp.ndarray | None = None,
                       rounds: int = 4, iters_per_round: int = 10,
-                      chi2_th: float = robust.CHI2_MONO) -> PoseOptResult:
+                      chi2_th: float = robust.CHI2_MONO,
+                      check_cost: bool = True) -> PoseOptResult:
     """Optimize one camera pose against fixed landmarks.
 
     Xw [M,3], uv [M,2], valid [M] bool; info [M] inverse measurement variance
     (reference invSigma2; 1.0 at the single scale level used).
+    check_cost=False runs plain damped GN (no accept/reject second evaluation)
+    — half the residual evaluations; fine when the prior is good (per-frame
+    tracking with a motion-model/IMU prediction).
     """
     M = Xw.shape[0]
     if info is None:
@@ -87,19 +92,25 @@ def pose_optimization(R_cw, t_cw, Xw, uv, valid, cam_params,
             dR, dt = lie.se3_exp(dx)
             R_new = lie.normalize_rotation(dR @ R)
             t_new = dR @ t + dt
-            # Accept if cost decreased.
-            e_new, _, d_new = _residual_jac(R_new, t_new, cam_kind, cam_params, Xw, uv)
-            chi2_new = jnp.sum(e_new * e_new, axis=-1) * info
-            mask_eff = inlier_mask * valid
-            cost_old = jnp.sum(jnp.where(use_kernel,
-                                         _huber_cost(chi2, delta2), chi2) * mask_eff)
-            cost_new = jnp.sum(jnp.where(use_kernel,
-                                         _huber_cost(chi2_new, delta2), chi2_new) * mask_eff)
-            improved = cost_new < cost_old
-            R = jnp.where(improved, R_new, R)
-            t = jnp.where(improved, t_new, t)
-            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-            lam = jnp.clip(lam, 1e-8, 1e6)
+            if check_cost:
+                # Accept if cost decreased.
+                e_new, _, d_new = _residual_jac(R_new, t_new, cam_kind,
+                                                cam_params, Xw, uv)
+                chi2_new = jnp.sum(e_new * e_new, axis=-1) * info
+                mask_eff = inlier_mask * valid
+                cost_old = jnp.sum(jnp.where(use_kernel,
+                                             _huber_cost(chi2, delta2),
+                                             chi2) * mask_eff)
+                cost_new = jnp.sum(jnp.where(use_kernel,
+                                             _huber_cost(chi2_new, delta2),
+                                             chi2_new) * mask_eff)
+                improved = cost_new < cost_old
+                R = jnp.where(improved, R_new, R)
+                t = jnp.where(improved, t_new, t)
+                lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+                lam = jnp.clip(lam, 1e-8, 1e6)
+            else:
+                R, t = R_new, t_new
             return (R, t, lam), None
 
         (R, t, _), _ = jax.lax.scan(lm_iter, (R, t, jnp.float32(1e-3)),

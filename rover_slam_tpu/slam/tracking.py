@@ -294,6 +294,11 @@ def _triangulate_pair_kernel_body(state: ms.MapState, kf_new, kf_nbr,
     state = state.replace(kf_landmark_idx=state.kf_landmark_idx
                           .at[kf_new].set(li_new)
                           .at[kf_nbr].set(li_nbr))
+    # New landmarks start with their two registering observations (the
+    # reference's AddObservation bookkeeping; culling reads lm_n_obs).
+    slot_c = jnp.clip(slots, 0, state.L - 1)
+    state = state.replace(lm_n_obs=state.lm_n_obs.at[slot_c].add(
+        jnp.where(slots >= 0, 2, 0), mode="drop"))
     n_new = jnp.sum(slots >= 0)
     return state, n_new
 
@@ -331,7 +336,9 @@ def _track_step_kernel(state: ms.MapState,
     cand_ok = (cur_lm0 >= 0) & state.lm_active[lm_c] & cur_valid
     res_m = pose_opt.pose_optimization(R_pred, t_pred, state.lm_pos[lm_c],
                                        cur_kpts, cand_ok, cam_params,
-                                       cam_kind=cam_kind)
+                                       cam_kind=cam_kind,
+                                       rounds=2, iters_per_round=8,
+                                       check_cost=False)
     n_cand = jnp.sum(cand_ok.astype(jnp.int32))
     motion_ok = (n_cand >= min_matches_motion) & \
         (res_m.n_inliers >= min_inliers_track)
@@ -364,7 +371,9 @@ def _track_step_kernel(state: ms.MapState,
     ok2 = (cur_lm >= 0) & cur_valid & state.lm_active[lm_c2]
     res_l = pose_opt.pose_optimization(R1, t1, state.lm_pos[lm_c2],
                                        cur_kpts, ok2, cam_params,
-                                       cam_kind=cam_kind)
+                                       cam_kind=cam_kind,
+                                       rounds=3, iters_per_round=8,
+                                       check_cost=False)
     cur_lm = jnp.where(res_l.inliers, cur_lm, -1)
     ok = res_l.n_inliers >= min_inliers_local_map
     R2 = jnp.where(ok, res_l.R_cw, R_pred)
@@ -407,6 +416,20 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
         window, opt_mask = _covis_window(state, kf_id, n_opt, n_fixed)
         state = _local_ba_body(state, window, opt_mask, cam_params, cam_kind,
                                ba_iters)
+
+    # Landmark statistics + culling at keyframe rate (reference
+    # IncreaseVisible/IncreaseFound per tracked frame + MapPointCulling in
+    # the mapping thread; keyframe-rate stats approximate the same ratios).
+    from ..map import maintenance as mnt
+    uv_l, depth_l, visible_l = assoc.project_landmarks(
+        state.lm_pos, state.lm_active, state.kf_R_cw[kf_id],
+        state.kf_t_cw[kf_id], cam_params, cam_kind)
+    li_kf = state.kf_landmark_idx[kf_id]
+    found_l = jnp.zeros((state.L,), bool).at[
+        jnp.clip(li_kf, 0, state.L - 1)].max(li_kf >= 0, mode="drop")
+    state = mnt.update_found_visible(state, visible_l, found_l)
+    state = mnt.cull_landmarks(state)
+
     n_obs = jnp.sum((state.kf_landmark_idx[kf_id] >= 0)
                     & state.kf_kpt_valid[kf_id])
     scalars = jnp.stack([kf_id, n_new0, n_new1, n_obs])
