@@ -1,0 +1,87 @@
+"""Distributed-BA scaling benchmark: solve time vs mesh size.
+
+Measures the edge-sharded BA (parallel/sharded_ba.py) at 1/2/4/8 devices on
+whatever backend is available (TPU chips if >1 visible; otherwise the virtual
+CPU mesh — structure-correct, bandwidth-unrepresentative). Prints one JSON
+line per mesh size (BASELINE metric: near-linear BA scaling at 1 chip / 1
+host / 2+ hosts; real ICI numbers need a multi-chip slice — round 2).
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python bench_scaling.py
+"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rover_slam_tpu.geometry import lie, cameras
+    from rover_slam_tpu.optim import ba
+    from rover_slam_tpu.parallel import sharded_ba
+
+    rng = np.random.default_rng(0)
+    Kw, Lw = 64, 8192
+    obs_per_lm = 8
+    cam = cameras.make_pinhole(458.654, 457.296, 367.215, 248.375)
+    Xw = np.stack([rng.uniform(-8, 8, Lw), rng.uniform(-6, 6, Lw),
+                   rng.uniform(5, 25, Lw)], 1).astype(np.float32)
+    R_t, t_t = [], []
+    for k in range(Kw):
+        Rk, tk = lie.se3_exp(jnp.asarray(
+            np.array([0.05 * k, 0.01 * k, 0, 0, 0.01 * k, 0], np.float32)))
+        R_t.append(np.asarray(Rk)); t_t.append(np.asarray(tk))
+    R_t, t_t = np.stack(R_t), np.stack(t_t)
+    e_lm = np.repeat(np.arange(Lw), obs_per_lm).astype(np.int32)
+    e_kf = rng.integers(0, Kw, len(e_lm)).astype(np.int32)
+    Xc = np.einsum("eij,ej->ei", R_t[e_kf], Xw[e_lm]) + t_t[e_kf]
+    uv = np.array(cameras.project(cameras.PINHOLE, jnp.asarray(cam),
+                                  jnp.asarray(Xc)))
+    uv += rng.normal(0, 0.5, uv.shape)
+    ok = Xc[:, 2] > 0.2
+    R0 = R_t.copy(); t0 = t_t.copy()
+    for k in range(2, Kw):
+        dR, dt = lie.se3_exp(jnp.asarray(
+            rng.normal(0, 0.02, 6).astype(np.float32)))
+        R0[k] = np.asarray(dR) @ R0[k]
+        t0[k] = np.asarray(dR) @ t0[k] + np.asarray(dt)
+    prob = ba.BAProblem(
+        R_cw=jnp.asarray(R0), t_cw=jnp.asarray(t0),
+        pose_opt_mask=jnp.asarray(np.arange(Kw) >= 2),
+        lm_pos=jnp.asarray(Xw + rng.normal(0, 0.05, Xw.shape)
+                           .astype(np.float32)),
+        lm_opt_mask=jnp.ones(Lw, bool), cam_params=jnp.asarray(cam),
+        e_kf=jnp.asarray(e_kf), e_lm=jnp.asarray(e_lm),
+        e_uv=jnp.asarray(uv, jnp.float32), e_valid=jnp.asarray(ok),
+        e_info=jnp.ones(len(e_kf), jnp.float32))
+
+    n_dev = len(jax.devices())
+    results = []
+    for n in [1, 2, 4, 8]:
+        if n > n_dev:
+            break
+        mesh = sharded_ba.make_mesh(n)
+        run = lambda: sharded_ba.solve_ba_sharded(prob, mesh, iters=6,
+                                                  cg_iters=15)
+        jax.block_until_ready(run())              # compile
+        t0_ = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = jax.block_until_ready(run())
+        dt_ms = (time.perf_counter() - t0_) / reps * 1000
+        results.append({"devices": n, "ms": round(dt_ms, 1)})
+        print(json.dumps({
+            "metric": "sharded_ba_ms", "value": round(dt_ms, 1), "unit": "ms",
+            "devices": n, "edges": int(len(e_lm)),
+            "backend": jax.default_backend(),
+            "speedup_vs_1dev": round(results[0]["ms"] / dt_ms, 2),
+        }))
+    return results
+
+
+if __name__ == "__main__":
+    main()
