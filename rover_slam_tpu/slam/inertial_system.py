@@ -24,6 +24,7 @@ from ..imu import preintegration as preint
 from ..map import map_state as ms
 from ..optim import vi_ba as vi_ba_mod
 from ..optim import inertial_init as ii
+from ..optim import pose_inertial as pio
 from . import tracking as T
 from .system import MonocularSLAM
 
@@ -47,6 +48,34 @@ def _predict_imu_kernel(R_wb, p_wb, v_wb, state: preint.PreintState, bg, ba,
     R_cw = R_cb @ R1.T
     t_cw = -R_cw @ p1 + t_cb
     return R1, p1, v1, R_cw, t_cw
+
+
+@jax.jit
+def _body_from_camera(R_cw, t_cw, R_bc, t_bc):
+    """Derive body pose T_wb from camera pose T_cw and extrinsic T_bc.
+
+    Camera poses are the single source of truth in this system (visual BA
+    updates kf_R_cw only); body poses are re-derived whenever IMU factors
+    need them, so they can never go stale."""
+    R_bw = jnp.einsum("ij,...jl->...il", R_bc, R_cw)
+    R_wb = jnp.swapaxes(R_bw, -1, -2)
+    centers = -jnp.einsum("...ji,...j->...i", R_cw, t_cw)
+    p_wb = centers - jnp.einsum("...ij,j->...i", R_wb, t_bc)
+    return R_wb, p_wb
+
+
+@jax.jit
+def _set_body_state_kernel(state: ms.MapState, kf_id, R_cw, t_cw, R_bc, t_bc,
+                           v_wb, bg, ba):
+    """Write the body state for one keyframe slot (called at insertion so
+    velocity/bias snapshots exist for the VI-BA window)."""
+    R_wb, p_wb = _body_from_camera(R_cw, t_cw, R_bc, t_bc)
+    return state.replace(
+        kf_R_wb=state.kf_R_wb.at[kf_id].set(R_wb),
+        kf_p_wb=state.kf_p_wb.at[kf_id].set(p_wb),
+        kf_v_wb=state.kf_v_wb.at[kf_id].set(v_wb),
+        kf_bg=state.kf_bg.at[kf_id].set(bg),
+        kf_ba=state.kf_ba.at[kf_id].set(ba))
 
 
 @jax.jit
@@ -103,6 +132,11 @@ class MonocularInertialSLAM(MonocularSLAM):
         self._preint_since_kf: Optional[preint.PreintState] = None
         self.vi_ba_enabled = False
         self._last_refine_kf = 0
+        # Recursive frame-to-frame marginal prior (ConstraintPoseImu chain);
+        # None right after a keyframe -> next frame anchors on the KF
+        # (LastKeyFrame variant), otherwise LastFrame with this prior.
+        self._vi_prior_H = None
+        self._vi_refined = False
 
     # ------------------------------------------------------------------
     def feed_imu(self, acc, gyro, t):
@@ -142,10 +176,13 @@ class MonocularInertialSLAM(MonocularSLAM):
                         self._preint_since_kf, pre_seg)
         self._cur_preint = pre_seg
         self._pred_body = None
+        self._vi_refined = False
         info = super().track_frame(kpts, rays, desc, valid, time)
         self._last_frame_time = float(time)
-        # IMU-propagated velocity (corrected at each VI-BA).
-        if (self.imu_ready and self._pred_body is not None
+        # IMU-propagated velocity (when the VI pose refinement ran, it already
+        # estimated velocity/biases jointly — don't overwrite them).
+        if (self.imu_ready and not self._vi_refined
+                and self._pred_body is not None
                 and info.get("state") == T.OK):
             self.v_wb = self._pred_body[2]
         # Update body state from the tracked camera pose.
@@ -179,6 +216,64 @@ class MonocularInertialSLAM(MonocularSLAM):
             self._last_refine_kf = self.n_kf
         info["imu_ready"] = self.imu_ready
         return info
+
+    def _post_track_refine(self, frame):
+        """Per-frame VI motion-only optimization (reference
+        PoseInertialOptimizationLastKeyFrame/LastFrame, src/Optimizer.cc:416/983
+        — called from TrackLocalMap once the IMU is initialized,
+        src/Tracking.cc:3598-3640). Jointly refines the frame pose, velocity
+        and biases against the visual matches + the preintegrated IMU factor
+        to the previous frame, chaining a 15-dim marginal prior."""
+        if (not self.imu_ready or self._cur_preint is None
+                or self._last_n_inl < 15):
+            return
+        seg = self._cur_preint
+        st = self.state
+        li = frame.landmark_idx
+        e_valid = (li >= 0) & frame.valid
+        Xw = st.lm_pos[jnp.clip(li, 0, st.L - 1)]
+        # Frame body state from the visually-tracked camera pose; velocity
+        # from the IMU propagation when available.
+        R1, p1 = _body_from_camera(frame.R_cw, frame.t_cw,
+                                   self.calib.Rbc, self.calib.tbc)
+        v1 = self._pred_body[2] if self._pred_body is not None else self.v_wb
+        R_cb, t_cb = lie.se3_inverse(self.calib.Rbc, self.calib.tbc)
+        anchor_fixed = self._vi_prior_H is None
+        prior_H = (jnp.zeros((15, 15)) if anchor_fixed
+                   else self._vi_prior_H)
+        # Bias-walk information straight from the preintegrated covariance
+        # (reference EdgeGyroRW/EdgeAccRW use C.block(9,9,6,6).inverse()).
+        walk_var = jnp.diagonal(seg.C)[9:15]
+        prob = pio.PoseInertialProblem(
+            R_wb0=self.R_wb, p_wb0=self.p_wb, v_wb0=self.v_wb,
+            bg0=self.bg, ba0=self.ba,
+            R_wb1=R1, p_wb1=p1, v_wb1=v1, bg1=self.bg, ba1=self.ba,
+            prior_H=prior_H, prior_valid=jnp.asarray(not anchor_fixed),
+            imu_dR=seg.dR, imu_dV=seg.dV, imu_dP=seg.dP, imu_JRg=seg.JRg,
+            imu_JVg=seg.JVg, imu_JVa=seg.JVa, imu_JPg=seg.JPg,
+            imu_JPa=seg.JPa, imu_dt=seg.dt, imu_bg0=seg.bg, imu_ba0=seg.ba,
+            imu_info=preint.information_9(seg),
+            walk_info=1.0 / jnp.maximum(walk_var, 1e-12),
+            Xw=Xw, uv=frame.kpts, e_valid=e_valid,
+            e_info=jnp.ones((st.N,), jnp.float32),
+            R_cb=R_cb, t_cb=t_cb, cam_params=self.cam_params)
+        with self.timers.stage("vi_pose"):
+            res = pio.solve_pose_inertial(prob, cam_kind=self.cfg.cam_kind,
+                                          anchor_fixed=anchor_fixed)
+        n_inl = int(res.n_inliers)
+        if n_inl < max(15, self._last_n_inl // 3):
+            # Refinement diverged (bad preintegration / few edges): keep the
+            # visual pose and restart the prior chain.
+            self._vi_prior_H = None
+            return
+        frame.R_cw, frame.t_cw = res.R_cw, res.t_cw
+        frame.landmark_idx = jnp.where(res.inliers, li, -1)
+        self.v_wb = res.v_wb
+        self.bg = res.bg
+        self.ba = res.ba
+        self._last_n_inl = n_inl
+        self._vi_prior_H = res.marg_H
+        self._vi_refined = True
 
     def _elapsed_kf_time(self):
         if self.n_kf < 2:
@@ -215,6 +310,18 @@ class MonocularInertialSLAM(MonocularSLAM):
             self._kf_preints.append(seg)
         self._preint_since_kf = None
         super()._insert_keyframe(frame)
+        # Snapshot the body state for the new KF (velocity from the IMU
+        # propagation, biases from the current estimate; the body POSE is
+        # re-derived from the camera pose whenever needed, so visual-BA
+        # writebacks cannot leave it stale). Without this, post-init KFs kept
+        # identity/zero body states and VI-BA optimized from garbage.
+        kf_id = self.n_kf - 1
+        self.state = _set_body_state_kernel(
+            self.state, jnp.asarray(kf_id, jnp.int32),
+            self.state.kf_R_cw[kf_id], self.state.kf_t_cw[kf_id],
+            self.calib.Rbc, self.calib.tbc, self.v_wb, self.bg, self.ba)
+        # Next frame anchors on this keyframe (LastKeyFrame variant).
+        self._vi_prior_H = None
         if (self.vi_ba_every > 0 and self.imu_ready and self.n_kf >= 3
                 and self.n_kf % self.vi_ba_every == 0):
             with self.timers.stage("vi_ba"):
@@ -249,8 +356,12 @@ class MonocularInertialSLAM(MonocularSLAM):
         lm_opt = jnp.zeros((st.L,), bool).at[e_lm].max(e_valid, mode="drop")
 
         R_cb, t_cb = lie.se3_inverse(self.calib.Rbc, self.calib.tbc)
+        # Body poses derived FROM the camera poses (fresh after visual BA);
+        # only velocity/bias come from the stored per-KF snapshots.
+        R_wb_w, p_wb_w = _body_from_camera(st.kf_R_cw[jidx], st.kf_t_cw[jidx],
+                                           self.calib.Rbc, self.calib.tbc)
         prob = vi_ba_mod.VIBAProblem(
-            R_wb=st.kf_R_wb[jidx], p_wb=st.kf_p_wb[jidx],
+            R_wb=R_wb_w, p_wb=p_wb_w,
             v_wb=st.kf_v_wb[jidx], bg=st.kf_bg[jidx], ba=st.kf_ba[jidx],
             pose_opt_mask=jnp.arange(W) > 0, kf_valid=jnp.ones(W, bool),
             R_cb=R_cb, t_cb=t_cb, cam_params=self.cam_params,
@@ -316,6 +427,7 @@ class MonocularInertialSLAM(MonocularSLAM):
             lf.R_cw = lf.R_cw @ res.Rwg
             lf.t_cw = jnp.asarray(s) * lf.t_cw
         self.velocity = None
+        self._vi_prior_H = None
         k_last = self.n_kf - 1
         self.R_wb = self.state.kf_R_wb[k_last]
         self.p_wb = self.state.kf_p_wb[k_last]

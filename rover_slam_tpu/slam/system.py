@@ -114,6 +114,7 @@ class MonocularSLAM:
         else:
             self._lost_frames = 0
             self.tracking_state = T.OK
+            self._post_track_refine(frame)
             self._update_motion_model(frame)
 
         self._log_pose(frame)
@@ -193,6 +194,11 @@ class MonocularSLAM:
             return R1, t1
         dR, dt = self.velocity
         return T._compose_pose(dR, dt, R1, t1)
+
+    def _post_track_refine(self, frame):
+        """Hook: refine the tracked pose before the motion model / KF decision
+        (the inertial system overrides this with the VI motion-only
+        optimization, reference PoseInertialOptimization*)."""
 
     def _update_motion_model(self, frame):
         self.velocity = T._relative_pose(self.last_frame.R_cw,
