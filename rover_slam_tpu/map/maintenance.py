@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import cameras
+from ..ops import association as assoc
 from ..optim import ba
 from . import map_state as ms
 
@@ -55,6 +56,67 @@ def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
     state = state.replace(kf_active=state.kf_active & ~cull,
                           kf_landmark_idx=li)
     return state, jnp.sum(cull)
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind",))
+def fuse_into_keyframe(state: ms.MapState, kf_id, cam_params,
+                       cam_kind: int = cameras.PINHOLE, radius: float = 3.0,
+                       th_desc2: float = 1.44):
+    """Per-keyframe neighborhood fusion (reference
+    LocalMapping::SearchInNeighbors src/LocalMapping.cc:1048-1203 +
+    SPmatcher::Fuse :49-229): project landmarks seen by covisible neighbors
+    into the new keyframe; a projected landmark colliding with a keypoint that
+    already holds a DIFFERENT landmark replaces/absorbs it (the more-observed
+    one wins, reference MapPoint::Replace), and unmatched keypoints gain new
+    observations. Returns (state, n_fused, n_added)."""
+    K, L, N = state.K, state.L, state.N
+    obs = ms.observation_matrix(state)                     # [K, L]
+    W = obs @ obs.T
+    nbr = (W[kf_id] > 0).at[kf_id].set(False)              # covis neighbors
+    seen_by_nbr = (nbr.astype(jnp.float32) @ obs) > 0      # [L]
+    observed_here = obs[kf_id] > 0
+    # Candidates: active, seen by a neighbor, NOT already observed by this KF
+    # (keeps per-KF observations one-to-one).
+    cand = state.lm_active & seen_by_nbr & ~observed_here
+    uv, depth, visible = assoc.project_landmarks(
+        state.lm_pos, cand, state.kf_R_cw[kf_id], state.kf_t_cw[kf_id],
+        cam_params, cam_kind)
+    kpt_lm, _ = assoc.projection_match(
+        uv, state.lm_desc.astype(jnp.float32), visible,
+        state.kf_kpts[kf_id], state.kf_desc[kf_id].astype(jnp.float32),
+        state.kf_kpt_valid[kf_id], radius=radius, th_desc2=th_desc2)
+    li = state.kf_landmark_idx[kf_id]
+    proj = kpt_lm                                          # [N] lm idx or -1
+    pc = jnp.clip(proj, 0, L - 1)
+    lc = jnp.clip(li, 0, L - 1)
+
+    # --- duplicate fusion: projected lm collides with an existing obs ---
+    dup = (proj >= 0) & (li >= 0) & (proj != li)
+    n_p, n_l = state.lm_n_obs[pc], state.lm_n_obs[lc]
+    keep_proj = (n_p > n_l) | ((n_p == n_l) & (pc < lc))   # total order
+    winner = jnp.where(keep_proj, proj, li)
+    loser = jnp.where(keep_proj, li, proj)
+    loser_c = jnp.clip(loser, 0, L - 1)
+    table = jnp.arange(L, dtype=jnp.int32).at[loser_c].set(
+        jnp.where(dup, winner, loser_c), mode="drop")
+    table = table[table]                                   # compress chains
+    state = ms.replace_landmark_ids(state, table)
+    killed = jnp.zeros((L,), bool).at[loser_c].set(dup, mode="drop")
+    state = state.replace(lm_active=state.lm_active & ~killed)
+
+    # --- new observations on empty keypoint slots ---
+    li2 = state.kf_landmark_idx[kf_id]                     # post-substitution
+    proj2 = jnp.where(proj >= 0, table[pc], -1)
+    add = ((proj2 >= 0) & (li2 < 0) & state.kf_kpt_valid[kf_id]
+           & state.lm_active[jnp.clip(proj2, 0, L - 1)])
+    li_new = jnp.where(add, proj2, li2)
+    state = state.replace(
+        kf_landmark_idx=state.kf_landmark_idx.at[kf_id].set(li_new))
+
+    # Refresh observation counts after the surgery.
+    obs2 = ms.observation_matrix(state)
+    state = state.replace(lm_n_obs=jnp.sum(obs2, axis=0).astype(jnp.int32))
+    return state, jnp.sum(dup), jnp.sum(add)
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))

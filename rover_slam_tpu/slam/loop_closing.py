@@ -42,6 +42,15 @@ class LoopConfig:
     fix_scale: bool = False        # True for stereo/inertial
     run_gba: bool = True
     gba_iters: int = 10
+    # Temporal consistency: a hypothesis must be re-confirmed by consecutive
+    # keyframes before the correction fires (reference: 3 consecutive KFs,
+    # mnLoopNumCoincidences src/LoopClosing.cc:452-475; kept alive through
+    # mnLoopNumNotFound<2 misses). min_proj_verify mirrors the reference's
+    # >=30 projection matches in DetectAndReffineSim3FromLastKF (:682),
+    # scaled to the 512-keypoint budget.
+    consistency_needed: int = 3
+    min_proj_verify: int = 25
+    max_hyp_misses: int = 1
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind", "fix_scale"))
@@ -149,6 +158,46 @@ def _correct_loop_kernel(state: ms.MapState, kf_q, kf_c, s_qc, R_qc, t_qc,
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind",))
+def _verify_hypothesis_kernel(state: ms.MapState, kf_q0, kf_q1, kf_c,
+                              s_qc, R_qc, t_qc, cam_params, cam_kind: int,
+                              radius=8.0):
+    """Re-confirm a loop hypothesis from a newer keyframe
+    (reference DetectAndReffineSim3FromLastKF src/LoopClosing.cc:682:
+    propagate the stored Sim3 by the relative motion since the hypothesis
+    keyframe, project the candidate region's landmarks, count matches).
+
+    s_qc/R_qc/t_qc: Sim3 candidate-camera -> hypothesis-query-camera (kf_q0).
+    Returns (n_matches, s1, R1, t1) where (s1,R1,t1) is the propagated Sim3
+    candidate-camera -> kf_q1 camera.
+    """
+    # SE3 relative motion T_q1q0 from the CURRENT keyframe poses.
+    R0, t0 = state.kf_R_cw[kf_q0], state.kf_t_cw[kf_q0]
+    R1w, t1w = state.kf_R_cw[kf_q1], state.kf_t_cw[kf_q1]
+    R_rel = R1w @ R0.T
+    t_rel = t1w - R_rel @ t0
+    # Sim3 composition (scale rides through the SE3): S_q1c = T_rel * S_q0c.
+    s1 = s_qc
+    R1 = R_rel @ R_qc
+    t1 = R_rel @ t_qc + t_rel
+
+    # Candidate covis-region landmarks into kf_q1 via the hypothesis.
+    W = ms.covisibility(state)
+    c_group = (W[kf_c] > 0).at[kf_c].set(True)
+    anchor = jnp.clip(state.lm_anchor_kf, 0, state.K - 1)
+    cand_lm = state.lm_active & c_group[anchor]
+    Xc_cam = lie.se3_apply(state.kf_R_cw[kf_c], state.kf_t_cw[kf_c],
+                           state.lm_pos)
+    Xq = s1 * jnp.einsum("ij,lj->li", R1, Xc_cam) + t1
+    uv = cameras.project(cam_kind, cam_params, Xq)
+    visible = cand_lm & (Xq[..., 2] > 0.1)
+    kpt_lm, mutual = assoc.projection_match(
+        uv, state.lm_desc.astype(jnp.float32), visible,
+        state.kf_kpts[kf_q1], state.kf_desc[kf_q1].astype(jnp.float32),
+        state.kf_kpt_valid[kf_q1], radius=radius)
+    return jnp.sum(mutual), s1, R1, t1
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind",))
 def _fuse_after_loop_kernel(state: ms.MapState, kf_q, kf_c, cam_params,
                             cam_kind, radius=5.0):
     """Merge duplicated landmarks after loop correction
@@ -243,6 +292,10 @@ class LoopCloser:
         self.db = kdb.empty_db(desc_dim, K, n_words=2048, seed=seed)
         self._rng = jax.random.PRNGKey(seed)
         self.loops_closed = []
+        # Active loop hypothesis awaiting temporal confirmation:
+        # {cand, q_last, count, misses, s, R, t} with (s,R,t) the Sim3
+        # candidate-camera -> q_last-camera (reference mnLoopNumCoincidences).
+        self._hyp = None
 
     def on_keyframe(self, state: ms.MapState, kf_id: int):
         """Process a new keyframe. Returns (state, info dict)."""
@@ -259,6 +312,11 @@ class LoopCloser:
                                             n_best=self.cfg.n_candidates)
         self.db = kdb.db_add(self.db, kf_id, desc, valid)
 
+        # --- hypothesis alive: only try to re-confirm it (reference skips
+        # database detection while mnLoopNumCoincidences > 0, :452-475) ---
+        if self._hyp is not None:
+            return self._advance_hypothesis(state, kf_id)
+
         ids = np.asarray(ids)
         for cand in ids:
             if cand < 0:
@@ -272,48 +330,100 @@ class LoopCloser:
                 continue
             if not bool(res.success) or int(res.n_inliers) < self.cfg.min_sim3_inliers:
                 continue
-            map_q = int(state.kf_map_id[kf_id])
-            map_c = int(state.kf_map_id[int(cand)])
-            if map_q != map_c:
-                # Cross-map place recognition: weld the old map into the
-                # active one (reference MergeLocal / multi-session Atlas).
-                state = _merge_maps_kernel(
-                    state, jnp.asarray(kf_id, jnp.int32),
-                    jnp.asarray(int(cand), jnp.int32), res.s, res.R, res.t)
-                state, n_fused = _fuse_after_loop_kernel(
-                    state, jnp.asarray(kf_id, jnp.int32),
-                    jnp.asarray(int(cand), jnp.int32), self.cam_params,
-                    self.cfg.cam_kind)
-                info = {"loop": True, "merge": True, "candidate": int(cand),
-                        "n_inliers": int(res.n_inliers),
-                        "scale": float(res.s), "n_fused": int(n_fused)}
-                self.loops_closed.append((kf_id, int(cand)))
-                break
-            # Accept: correct the graph.
-            state, costs = _correct_loop_kernel(
+            # Geometric verification passed: open a hypothesis. It fires once
+            # `consistency_needed` consecutive keyframes confirm it.
+            self._hyp = {"cand": int(cand), "q_last": kf_id, "count": 1,
+                         "misses": 0, "s": res.s, "R": res.R, "t": res.t,
+                         "n_inliers": int(res.n_inliers)}
+            if self.cfg.consistency_needed <= 1:
+                return self._fire(state, kf_id)
+            info = {"loop": False, "pending": True, "candidate": int(cand),
+                    "count": 1}
+            break
+        return state, info
+
+    def _advance_hypothesis(self, state: ms.MapState, kf_id: int):
+        """Try to re-confirm the pending hypothesis from keyframe kf_id
+        (reference DetectAndReffineSim3FromLastKF)."""
+        hyp = self._hyp
+        n_proj, s1, R1, t1 = _verify_hypothesis_kernel(
+            state, jnp.asarray(hyp["q_last"], jnp.int32),
+            jnp.asarray(kf_id, jnp.int32),
+            jnp.asarray(hyp["cand"], jnp.int32),
+            hyp["s"], hyp["R"], hyp["t"], self.cam_params, self.cfg.cam_kind)
+        if int(n_proj) >= self.cfg.min_proj_verify:
+            hyp.update(q_last=kf_id, count=hyp["count"] + 1, misses=0,
+                       s=s1, R=R1, t=t1)
+            if hyp["count"] >= self.cfg.consistency_needed:
+                return self._fire(state, kf_id)
+            return state, {"loop": False, "pending": True,
+                           "candidate": hyp["cand"], "count": hyp["count"]}
+        hyp["misses"] += 1
+        # Keep the stored Sim3 anchored at q_last across a miss.
+        if hyp["misses"] > self.cfg.max_hyp_misses:
+            self._hyp = None
+        return state, {"loop": False}
+
+    def _fire(self, state: ms.MapState, kf_id: int):
+        """Temporal consistency reached: run the loop correction / map merge
+        from keyframe kf_id with the hypothesis Sim3."""
+        hyp = self._hyp
+        self._hyp = None
+        cand = hyp["cand"]
+        # Prefer a fresh direct Sim3 solve against the candidate; fall back to
+        # the propagated hypothesis if the direct match got weaker.
+        self._rng, key = jax.random.split(self._rng)
+        res, n_match = _sim3_between_kfs(
+            state, jnp.asarray(kf_id, jnp.int32),
+            jnp.asarray(cand, jnp.int32), self.cam_params, key,
+            self.cfg.cam_kind, self.cfg.fix_scale)
+        if bool(res.success) and int(res.n_inliers) >= self.cfg.min_sim3_inliers:
+            s, R, t, n_inl = res.s, res.R, res.t, int(res.n_inliers)
+        elif hyp["q_last"] == kf_id:
+            s, R, t, n_inl = hyp["s"], hyp["R"], hyp["t"], hyp["n_inliers"]
+        else:
+            return state, {"loop": False}
+
+        map_q = int(state.kf_map_id[kf_id])
+        map_c = int(state.kf_map_id[cand])
+        if map_q != map_c:
+            # Cross-map place recognition: weld the old map into the
+            # active one (reference MergeLocal / multi-session Atlas).
+            state = _merge_maps_kernel(
                 state, jnp.asarray(kf_id, jnp.int32),
-                jnp.asarray(int(cand), jnp.int32),
-                res.s, res.R, res.t,
-                jnp.asarray(self.cfg.min_covis_weight, jnp.int32),
-                self.cfg.pose_graph_iters)
+                jnp.asarray(cand, jnp.int32), s, R, t)
             state, n_fused = _fuse_after_loop_kernel(
                 state, jnp.asarray(kf_id, jnp.int32),
-                jnp.asarray(int(cand), jnp.int32), self.cam_params,
+                jnp.asarray(cand, jnp.int32), self.cam_params,
                 self.cfg.cam_kind)
-            if self.cfg.run_gba:
-                # Full-map BA after the pose-graph correction (reference
-                # spawns RunGlobalBundleAdjustment in a detached thread,
-                # src/LoopClosing.cc:2083; here it is one async device
-                # program — dispatch is non-blocking).
-                from ..map import maintenance
-                state = maintenance.global_ba(state, self.cam_params,
-                                              cam_kind=self.cfg.cam_kind,
-                                              iters=self.cfg.gba_iters)
-            info = {"loop": True, "candidate": int(cand),
-                    "n_inliers": int(res.n_inliers),
-                    "scale": float(res.s),
-                    "n_fused": int(n_fused),
-                    "pg_cost": float(costs[-1])}
-            self.loops_closed.append((kf_id, int(cand)))
-            break
+            info = {"loop": True, "merge": True, "candidate": cand,
+                    "n_inliers": n_inl,
+                    "scale": float(s), "n_fused": int(n_fused)}
+            self.loops_closed.append((kf_id, cand))
+            return state, info
+        # Same-map loop: correct the graph.
+        state, costs = _correct_loop_kernel(
+            state, jnp.asarray(kf_id, jnp.int32),
+            jnp.asarray(cand, jnp.int32), s, R, t,
+            jnp.asarray(self.cfg.min_covis_weight, jnp.int32),
+            self.cfg.pose_graph_iters)
+        state, n_fused = _fuse_after_loop_kernel(
+            state, jnp.asarray(kf_id, jnp.int32),
+            jnp.asarray(cand, jnp.int32), self.cam_params,
+            self.cfg.cam_kind)
+        if self.cfg.run_gba:
+            # Full-map BA after the pose-graph correction (reference
+            # spawns RunGlobalBundleAdjustment in a detached thread,
+            # src/LoopClosing.cc:2083; here it is one async device
+            # program — dispatch is non-blocking).
+            from ..map import maintenance
+            state = maintenance.global_ba(state, self.cam_params,
+                                          cam_kind=self.cfg.cam_kind,
+                                          iters=self.cfg.gba_iters)
+        info = {"loop": True, "candidate": cand,
+                "n_inliers": n_inl,
+                "scale": float(s),
+                "n_fused": int(n_fused),
+                "pg_cost": float(costs[-1])}
+        self.loops_closed.append((kf_id, cand))
         return state, info

@@ -412,6 +412,11 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     state, n_new0 = tri(state, 0)
     state, n_new1 = tri(state, 1)
 
+    # Neighborhood fusion before the BA (reference SearchInNeighbors runs
+    # between CreateNewMapPoints and the local BA, src/LocalMapping.cc:156).
+    from ..map import maintenance as mnt
+    state, _, _ = mnt.fuse_into_keyframe(state, kf_id, cam_params, cam_kind)
+
     if run_ba:
         window, opt_mask = _covis_window(state, kf_id, n_opt, n_fixed)
         state = _local_ba_body(state, window, opt_mask, cam_params, cam_kind,

@@ -188,3 +188,78 @@ class TestRGBD:
         L_est = np.linalg.norm(np.diff(est_pos, axis=0), axis=1).sum()
         L_gt = np.linalg.norm(np.diff(gt_pos[-len(est_pos):], axis=0), axis=1).sum()
         assert abs(L_est - L_gt) / L_gt < 0.08
+
+
+class TestFuseIntoKeyframe:
+    """Per-KF neighborhood fusion (reference SearchInNeighbors + Fuse)."""
+
+    def _scene(self):
+        cam = cameras.make_pinhole(100.0, 100.0, 100.0, 100.0)
+        st = ms.empty_map(K=8, N=32, L=64, D=16)
+        rng = np.random.default_rng(7)
+        pos = np.stack([rng.uniform(-2, 2, 11), rng.uniform(-2, 2, 11),
+                        rng.uniform(5, 9, 11)], 1).astype(np.float32)
+        pos[10] = pos[3]                      # lm 10 duplicates lm 3
+        desc = np.zeros((11, 16), np.float32)
+        desc[np.arange(11), np.arange(11) % 16] = 1.0
+        desc[10] = desc[3]
+        st, slots = ms.add_landmarks(st, jnp.asarray(pos), jnp.asarray(desc),
+                                     jnp.zeros((11, 3)),
+                                     jnp.zeros(11, jnp.int32),
+                                     jnp.ones(11, bool))
+        uv = np.asarray(cameras.project(cameras.PINHOLE, cam,
+                                        jnp.asarray(pos)))
+        kpts = np.zeros((32, 2), np.float32)
+        kpts[:11] = uv
+        descs = np.zeros((32, 16), np.float32)
+        descs[:11] = desc
+        valid = jnp.asarray(np.arange(32) < 11)
+
+        def add(li):
+            nonlocal st
+            lidx = np.full(32, -1, np.int32)
+            lidx[:len(li)] = li
+            st, _ = ms.add_keyframe(st, jnp.eye(3), jnp.zeros(3),
+                                    jnp.asarray(kpts), jnp.ones((32, 3)),
+                                    jnp.asarray(descs), valid,
+                                    jnp.asarray(lidx), 0.0)
+
+        add(list(range(10)) + [-1])           # KF0 observes lm 0..9
+        add(list(range(10)) + [-1])           # KF1 observes lm 0..9
+        # KF2: slots 0-2 correct, slot 3 holds the DUPLICATE lm 10,
+        # slots 4..9 empty (fusion should add those observations).
+        add([0, 1, 2, 10] + [-1] * 7)
+        return cam, st
+
+    def test_duplicate_replaced_and_obs_added(self):
+        cam, st = self._scene()
+        st2, n_fused, n_added = maintenance.fuse_into_keyframe(
+            st, jnp.asarray(2, jnp.int32), cam)
+        assert int(n_fused) == 1
+        # lm 10 loses (1 obs vs 2): killed, its slot re-pointed at lm 3.
+        assert not bool(st2.lm_active[10])
+        li2 = np.asarray(st2.kf_landmark_idx[2])
+        assert li2[3] == 3
+        # Empty slots gained the neighbor landmarks.
+        assert int(n_added) >= 6
+        assert (li2[4:10] == np.arange(4, 10)).all()
+        # Observation counts refreshed (lm 3 now seen by KF0, KF1, KF2).
+        assert int(st2.lm_n_obs[3]) == 3
+
+    def test_more_observed_projected_wins(self):
+        cam, st = self._scene()
+        # Flip: make the duplicate the strong one (3 obs) by attaching it to
+        # KF0/KF1 as well, and the true lm 3 weak (only KF2).
+        li = np.array(st.kf_landmark_idx)
+        li[0][3] = 10
+        li[1][3] = 10
+        li[2][3] = 3
+        st = st.replace(kf_landmark_idx=jnp.asarray(li))
+        st = st.replace(lm_n_obs=jnp.sum(ms.observation_matrix(st),
+                                         axis=0).astype(jnp.int32))
+        st2, n_fused, _ = maintenance.fuse_into_keyframe(
+            st, jnp.asarray(2, jnp.int32), cam)
+        assert int(n_fused) == 1
+        assert not bool(st2.lm_active[3])
+        assert bool(st2.lm_active[10])
+        assert np.asarray(st2.kf_landmark_idx[2])[3] == 10
