@@ -69,6 +69,30 @@ def _inv3(A):
     return inv / det[..., None, None]
 
 
+def _inv6(M):
+    """Closed-form batched 6x6 inverse via 3x3 block Schur complement.
+
+    TPU-critical: jnp.linalg.inv on [K,6,6] lowers to a sequential
+    LAPACK-style loop (~ms per call on TPU); this is pure vectorized 3x3
+    algebra. Requires the (damped) blocks to be SPD-ish, which LM damping
+    guarantees here."""
+    A = M[..., 0:3, 0:3]
+    B = M[..., 0:3, 3:6]
+    C = M[..., 3:6, 0:3]
+    D = M[..., 3:6, 3:6]
+    Ai = _inv3(A)
+    AiB = Ai @ B
+    S = D - C @ AiB
+    Si = _inv3(S)
+    CAi = C @ Ai
+    top_left = Ai + AiB @ Si @ CAi
+    top_right = -AiB @ Si
+    bot_left = -Si @ CAi
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([bot_left, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def _chol3(A):
     """Batched lower Cholesky of SPD 3x3 blocks (closed form)."""
     eps = 1e-12
@@ -113,12 +137,12 @@ def _edge_terms(cam_kind, prob: BAProblem, R, t, X):
 
 @functools.partial(jax.jit,
                    static_argnames=("cam_kind", "iters", "cg_iters", "phases",
-                                    "solver"))
+                                    "solver", "lm_cap"))
 def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
              iters: int = 10, cg_iters: int = 20,
              chi2_th: float = robust.CHI2_MONO,
              lam0: float = 1e-4, phases: int = 2,
-             solver: str = "schur") -> BAResult:
+             solver: str = "schur", lm_cap: int | None = None) -> BAResult:
     """`phases` > 1 reproduces the reference's two-phase local BA: optimize,
     hard-drop chi2 outlier edges, re-optimize (src/Optimizer.cc:2055-2130).
 
@@ -130,18 +154,42 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         translation-vs-structure mode.
       "pcg" — matrix-free block-Jacobi PCG; O(E) memory, shards over edges
         (the global/distributed path).
+
+    lm_cap: compact the landmark VARIABLES to a fixed capacity with a
+      static-size nonzero gather (local windows optimize ~1-4k of the 8-16k
+      table slots; running the Schur elimination over the full padded table
+      wastes HBM bandwidth). Edges to landmarks beyond the cap (or outside
+      lm_opt_mask) still constrain poses — those landmarks are just held
+      fixed, exactly like lm_opt_mask=False today.
     """
     Kw = prob.R_cw.shape[0]
-    Lw = prob.lm_pos.shape[0]
+    L_full = prob.lm_pos.shape[0]
+    if lm_cap is not None and lm_cap < L_full:
+        # Compact the landmark VARIABLES: residuals still gather from the full
+        # table; only the Schur/variable-block arrays shrink to [C(+1)].
+        C = lm_cap
+        var_idx = jnp.nonzero(prob.lm_opt_mask, size=C, fill_value=L_full)[0]
+        pad = var_idx >= L_full
+        var_c = jnp.clip(var_idx, 0, L_full - 1)
+        inv = jnp.full((L_full,), C, jnp.int32).at[var_c].set(
+            jnp.where(pad, C, jnp.arange(C, dtype=jnp.int32)), mode="drop")
+        e_lmv = inv[prob.e_lm]          # [E] in [0..C]; C = fixed/overflow
+        lmask_c = prob.lm_opt_mask[var_c] & ~pad
+    else:
+        C = L_full
+        var_c = jnp.arange(L_full)
+        e_lmv = prob.e_lm
+        lmask_c = prob.lm_opt_mask
+    Lw = C
     pmask = prob.pose_opt_mask.astype(jnp.float32)[:, None]      # [Kw,1]
-    lmask = prob.lm_opt_mask.astype(jnp.float32)[:, None]        # [Lw,1]
+    lmask = lmask_c.astype(jnp.float32)[:, None]                 # [Lw,1]
     delta2 = chi2_th
 
     def seg_c(vals):  # [E,6] -> [Kw,6]
         return jnp.zeros((Kw, 6), vals.dtype).at[prob.e_kf].add(vals)
 
-    def seg_l(vals):  # [E,3] -> [Lw,3]
-        return jnp.zeros((Lw, 3), vals.dtype).at[prob.e_lm].add(vals)
+    def seg_l(vals):  # [E,3] -> [Lw,3] (row Lw is the fixed/overflow bucket)
+        return jnp.zeros((Lw + 1, 3), vals.dtype).at[e_lmv].add(vals)[:Lw]
 
     def lm_step(carry, _):
         R, t, X, lam, prev_cost = carry
@@ -158,8 +206,8 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         # Block-diagonal (for damping + preconditioner).
         Hcc = jnp.zeros((Kw, 6, 6)).at[prob.e_kf].add(
             jnp.einsum("eki,e,ekj->eij", Jc, w, Jc))
-        Hll = jnp.zeros((Lw, 3, 3)).at[prob.e_lm].add(
-            jnp.einsum("eki,e,ekj->eij", Jl, w, Jl))
+        Hll = jnp.zeros((Lw + 1, 3, 3)).at[e_lmv].add(
+            jnp.einsum("eki,e,ekj->eij", Jl, w, Jl))[:Lw]
         dc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)               # [Kw,6]
         dl = jnp.diagonal(Hll, axis1=-2, axis2=-1)               # [Lw,3]
 
@@ -169,7 +217,7 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         # Fixed variables: make their blocks identity so PCG leaves them at 0.
         Hcc_d = jnp.where(pmask[:, :, None] > 0, Hcc_d, jnp.eye(6)[None])
         Hll_d = jnp.where(lmask[:, :, None] > 0, Hll_d, jnp.eye(3)[None])
-        Pc = jnp.linalg.inv(Hcc_d + 1e-9 * jnp.eye(6)[None])
+        Pc = _inv6(Hcc_d + 1e-9 * jnp.eye(6)[None])
         Pl = _inv3(Hll_d + 1e-9 * jnp.eye(3)[None])
 
         lam_dc = lam * jnp.maximum(dc, 1e-6)
@@ -178,8 +226,9 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         def matvec(v_c, v_l):
             v_c = v_c * pmask
             v_l = v_l * lmask
+            v_lp = jnp.concatenate([v_l, jnp.zeros((1, 3), v_l.dtype)])
             u = (jnp.einsum("eki,ei->ek", Jc, v_c[prob.e_kf])
-                 + jnp.einsum("eki,ei->ek", Jl, v_l[prob.e_lm])) * w[:, None]
+                 + jnp.einsum("eki,ei->ek", Jl, v_lp[e_lmv])) * w[:, None]
             out_c = seg_c(jnp.einsum("eki,ek->ei", Jc, u)) + lam_dc * v_c
             out_l = seg_l(jnp.einsum("eki,ek->ei", Jl, u)) + lam_dl * v_l
             return out_c * pmask, out_l * lmask
@@ -199,8 +248,8 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
             """
             n = 6 * Kw
             # Cross blocks W[l,k] = sum_e Jc^T w Jl for edges (k,l). [Lw,Kw,6,3]
-            Wt = jnp.zeros((Lw, Kw, 6, 3)).at[prob.e_lm, prob.e_kf].add(
-                jnp.einsum("eki,e,ekj->eij", Jc, w, Jl))
+            Wt = jnp.zeros((Lw + 1, Kw, 6, 3)).at[e_lmv, prob.e_kf].add(
+                jnp.einsum("eki,e,ekj->eij", Jc, w, Jl))[:Lw]
             Wt = Wt * pmask[None, :, :, None] * lmask[:, None, :, None]
             Hll_inv = Pl  # damped+masked inverse of landmark blocks
             L3 = _chol3(Hll_inv)
@@ -213,8 +262,39 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
             # rhs: b_c - W Pl b_l = b_c - B (L^T b_l)
             Ltb = jnp.einsum("lij,li->lj", L3, b_l)           # [Lw,3]
             rhs = b_c - jnp.einsum("lkac,lc->ka", B, Ltb)
+            # Reduced camera solve: the landmark elimination leaves a small
+            # well-conditioned SPD system; block-Jacobi PCG converges in a few
+            # dozen iterations of pure vector ops, where an LU/Cholesky lowers
+            # to a sequential loop on TPU (~ms per LM step).
             Sm = S.reshape(n, n) + 1e-8 * jnp.eye(n)
-            dx_c = jnp.linalg.solve(Sm, rhs.reshape(n)).reshape(Kw, 6) * pmask
+            Sd = S[jnp.arange(Kw), :, jnp.arange(Kw), :]        # [Kw,6,6]
+            Pr = _inv6(Sd + 1e-7 * jnp.eye(6)[None])
+
+            def red_mv(v):
+                return (Sm @ v.reshape(n)).reshape(Kw, 6)
+
+            def red_pc(r):
+                return jnp.einsum("kij,kj->ki", Pr, r)
+
+            b_r = rhs * pmask
+            z0 = red_pc(b_r)
+            rz0 = jnp.sum(b_r * z0)
+
+            def red_cg(carry, _):
+                x, r, p_, rz = carry
+                Ap = red_mv(p_)
+                pAp = jnp.sum(p_ * Ap)
+                alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+                x = x + alpha * p_
+                r = r - alpha * Ap
+                z = red_pc(r)
+                rz_n = jnp.sum(r * z)
+                beta = rz_n / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+                return (x, r, z + beta * p_, rz_n), None
+
+            (dx_c, *_), _ = jax.lax.scan(
+                red_cg, (jnp.zeros_like(b_r), b_r, z0, rz0), None, length=32)
+            dx_c = dx_c * pmask
             dx_l = jnp.einsum("lbc,lc->lb",
                               Hll_inv,
                               b_l - jnp.einsum("lkab,ka->lb", Wt, dx_c)) * lmask
@@ -253,7 +333,7 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         # Keep fixed variables bit-exact (SVD renormalization would jitter them).
         R_new = jnp.where(pmask[:, :, None] > 0, R_new, R)
         t_new = jnp.where(pmask > 0, t_new, t)
-        X_new = jnp.where(lmask > 0, X + dx_l, X)
+        X_new = X.at[var_c].add(jnp.where(lmask > 0, dx_l, 0.0))
 
         e_new, _, _, d_new = _edge_terms(cam_kind, prob, R_new, t_new, X_new)
         chi2_new = jnp.sum(e_new * e_new, axis=-1) * prob.e_info

@@ -32,8 +32,20 @@ class MonocularSLAM:
 
     def __init__(self, cam_params, config: Optional[T.TrackerConfig] = None,
                  map_capacity=(128, 512, 8192), desc_dim: int = 64,
-                 enable_loop_closing: bool = False, loop_config=None):
+                 enable_loop_closing: bool = False, loop_config=None,
+                 pipeline: bool = False):
+        """pipeline=True defers the per-frame scalar fetch by ONE frame: the
+        tracking kernel for frame i is dispatched asynchronously and its
+        ok/inlier flags are read while frame i+1's kernel runs on device, so
+        the host<->device round trip (tens of ms on remote/tunneled TPU
+        backends) overlaps with compute instead of serializing the loop. The
+        state machine (LOST handling, relocalization, keyframe insertion)
+        lags one frame — the same tolerance the reference accepts by queueing
+        keyframes to its asynchronous LocalMapping thread. Call flush() before
+        reading final results."""
         self.cfg = config or T.TrackerConfig()
+        self.pipeline = pipeline
+        self._pending = None          # (frame, flags_future)
         self.cam_params = jnp.asarray(cam_params)
         K, N, L = map_capacity
         self.state = ms.empty_map(K=K, N=N, L=L, D=desc_dim)
@@ -72,6 +84,15 @@ class MonocularSLAM:
                 self._log_pose(frame)
             return info
 
+        # Resolve the previous frame's deferred flags first (pipeline mode):
+        # its kernel has been executing on device while the host prepared this
+        # frame, so the fetch below rarely stalls.
+        info_prev = None
+        if self._pending is not None:
+            pf, pflags = self._pending
+            self._pending = None
+            info_prev = self._finish_track(pf, pflags)
+
         # --- normal tracking: ONE fused kernel dispatch + one scalar fetch ---
         with self.timers.stage("lm_track"):
             R0, t0 = self._predict_pose()
@@ -87,10 +108,29 @@ class MonocularSLAM:
                 self.cfg.desc_th2,
                 ref_kf=jnp.asarray(max(self.n_kf - 1, 0), jnp.int32),
                 local_map_only=self.cfg.local_map_only)
-            flags = np.asarray(flags)   # single host sync per frame
-            ok = bool(flags[0])
-            self._last_n_inl = int(flags[1])
             frame.R_cw, frame.t_cw, frame.landmark_idx = R2, t2, cur_lm
+
+        if self.pipeline:
+            # Defer the scalar fetch; keep the motion model lazily up to date
+            # with device values (no sync).
+            self._pending = (frame, flags)
+            self._update_motion_model(frame)
+            self.last_frame = frame
+            self.frames_since_kf += 1
+            return info_prev if info_prev is not None else \
+                {"state": self.tracking_state, "queued": True}
+
+        info = self._finish_track(frame, flags)
+        self.last_frame = frame
+        self.frames_since_kf += 1
+        return info
+
+    def _finish_track(self, frame: T.FrameData, flags) -> dict:
+        """Flags-dependent half of per-frame tracking: state machine,
+        relocalization, refinement hook, keyframe decision."""
+        flags = np.asarray(flags)   # single host sync per frame
+        ok = bool(flags[0])
+        self._last_n_inl = int(flags[1])
 
         if not ok:
             self._lost_frames += 1
@@ -114,8 +154,11 @@ class MonocularSLAM:
         else:
             self._lost_frames = 0
             self.tracking_state = T.OK
-            self._post_track_refine(frame)
-            self._update_motion_model(frame)
+            if not self.pipeline:
+                # (the VI refinement mutates the frame pose other frames'
+                # predictions depend on — sync-mode only)
+                self._post_track_refine(frame)
+                self._update_motion_model(frame)
 
         self._log_pose(frame)
 
@@ -123,11 +166,18 @@ class MonocularSLAM:
             with self.timers.stage("new_kf"):
                 self._insert_keyframe(frame)
 
-        self.last_frame = frame
-        self.frames_since_kf += 1
         return {"state": self.tracking_state,
                 "n_inliers": self._last_n_inl,
                 "pose": (frame.R_cw, frame.t_cw)}
+
+    def flush(self):
+        """Resolve the in-flight frame (pipeline mode). Call before reading
+        final trajectories/state."""
+        if self._pending is not None:
+            pf, pflags = self._pending
+            self._pending = None
+            return self._finish_track(pf, pflags)
+        return None
 
     # ------------------------------------------------------------------
     def _monocular_init(self, frame: T.FrameData) -> bool:
@@ -235,10 +285,17 @@ class MonocularSLAM:
         return True, frame, n_vis
 
     # ------------------------------------------------------------------
+    _kf_scalars = None
+
     def _need_new_keyframe(self, frame) -> bool:
         """(reference NeedNewKeyFrame src/Tracking.cc:3728-3930 — the c1/c2
         policy; the fork short-circuits to always-insert, which we expose via
         kf_min_interval=0)."""
+        if self._kf_scalars is not None:
+            # Deferred fetch from the last insertion (pipeline mode): by now
+            # the insert program has finished, so this doesn't stall.
+            self.ref_kf_tracked = int(np.asarray(self._kf_scalars)[3])
+            self._kf_scalars = None
         if self.n_kf >= self.state.K:
             return False
         if self.frames_since_kf < self.cfg.kf_min_interval:
@@ -261,9 +318,17 @@ class MonocularSLAM:
             self.cfg.local_window, self.cfg.fixed_window, self.cfg.ba_iters)
         self.n_kf += 1
         self.frames_since_kf = 0
-        scalars = np.asarray(scalars)   # single sync per keyframe
-        kf_id_i = int(scalars[0])
-        self.ref_kf_tracked = int(scalars[3])
+        kf_id_i = self.n_kf - 1
+        if self.pipeline and self.loop_closer is None:
+            self._kf_scalars = scalars   # deferred fetch (see _need_new_keyframe)
+        else:
+            self.ref_kf_tracked = int(np.asarray(scalars)[3])
+
+        if (self.cfg.kf_cull_every > 0 and self.n_kf >= 6
+                and self.n_kf % self.cfg.kf_cull_every == 0):
+            from ..map import maintenance
+            self.state, _ = maintenance.cull_keyframes(
+                self.state, redundancy=self.cfg.kf_cull_redundancy)
 
         if self.loop_closer is not None:
             with self.timers.stage("place_recog"):
@@ -274,13 +339,16 @@ class MonocularSLAM:
 
     # ------------------------------------------------------------------
     def _log_pose(self, frame):
-        self.trajectory.append((frame.time, np.asarray(frame.R_cw),
-                                np.asarray(frame.t_cw), self.tracking_state))
+        # Poses are logged as (possibly lazy) device values — converting here
+        # would force a blocking device round trip per frame.
+        self.trajectory.append((frame.time, frame.R_cw, frame.t_cw,
+                                self.tracking_state))
 
     def get_trajectory(self):
+        self.flush()
         times = np.array([t for t, _, _, _ in self.trajectory])
-        Rs = np.stack([R for _, R, _, _ in self.trajectory])
-        ts = np.stack([t for _, _, t, _ in self.trajectory])
+        Rs = np.stack([np.asarray(R) for _, R, _, _ in self.trajectory])
+        ts = np.stack([np.asarray(t) for _, _, t, _ in self.trajectory])
         return times, Rs, ts
 
 

@@ -57,6 +57,11 @@ class TrackerConfig:
     ba_every: int = 2  # run local BA every Nth keyframe (reference aborts LBA
                        # under queue pressure — mbAbortBA — so skipping under
                        # load is faithful)
+    kf_cull_every: int = 0  # cull redundant keyframes every N insertions
+                            # (reference KeyFrameCulling runs per-KF,
+                            # src/LocalMapping.cc:1310; 0 = off — synthetic
+                            # full-visibility scenes mark everything redundant)
+    kf_cull_redundancy: float = 0.9   # reference: 90% of MPs seen >=3x elsewhere
     init_depth_scale: bool = True     # rescale init map to median depth 1
 
 
@@ -217,7 +222,11 @@ def _local_ba_body(state: ms.MapState, window_ids, opt_mask, cam_params,
     (reference Optimizer::LocalBundleAdjustment src/Optimizer.cc:1740)."""
     prob = _ba_window_args(state, window_ids, opt_mask)._replace(
         cam_params=cam_params)
-    res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, solver="schur")
+    # lm_cap: the window can reference at most n_opt*N landmark variables;
+    # compacting the Schur arrays to that bound (instead of the full padded
+    # table) cuts the local-BA HBM traffic ~4x.
+    res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, solver="schur",
+                      lm_cap=4096)
     win = jnp.clip(window_ids, 0, state.K - 1)
     write = (opt_mask & (window_ids >= 0))
     new_R = jnp.where(write[:, None, None], res.R_cw, state.kf_R_cw[win])

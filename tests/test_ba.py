@@ -185,3 +185,33 @@ def test_ba_matches_scipy_gauss_newton():
     dense_cost = np.sum((uv - uvh) ** 2)
     # Our solver should reach within 5% of the dense-GN optimum cost.
     assert final_cost < dense_cost * 1.05 + 1e-6, (final_cost, dense_cost)
+
+
+def test_lm_cap_compaction_matches_full():
+    """lm_cap compaction (static-size variable gather) must reproduce the
+    uncompacted Schur solve: optimize a window where only part of the landmark
+    table is variable and some edges reference FIXED landmarks."""
+    prob, (R_true, t_true, Xw_true), _ = make_ba_problem(Kw=5, Lw=150,
+                                                         pose_noise=0.03)
+    # Hold 50 landmarks fixed at their TRUE positions (like converged
+    # out-of-window anchors).
+    opt = np.ones(150, bool)
+    opt[100:] = False
+    lm0 = np.array(prob.lm_pos)
+    lm0[100:] = Xw_true[100:]
+    prob = prob._replace(lm_opt_mask=jnp.asarray(opt),
+                         lm_pos=jnp.asarray(lm0))
+    res_full = ba.solve_ba(prob, iters=6, solver="schur")
+    res_cap = ba.solve_ba(prob, iters=6, solver="schur", lm_cap=128)
+    np.testing.assert_allclose(np.asarray(res_cap.R_cw),
+                               np.asarray(res_full.R_cw), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res_cap.t_cw),
+                               np.asarray(res_full.t_cw), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res_cap.lm_pos),
+                               np.asarray(res_full.lm_pos), atol=1e-3)
+    # Fixed landmarks untouched.
+    np.testing.assert_array_equal(np.asarray(res_cap.lm_pos[100:]),
+                                  np.asarray(prob.lm_pos[100:]))
+    # Still converges to the truth.
+    rot_err, tr_err = pose_errors(res_cap.R_cw, res_cap.t_cw, R_true, t_true)
+    assert tr_err.max() < 0.02

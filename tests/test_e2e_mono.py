@@ -138,3 +138,28 @@ def test_fisheye_kb8_e2e():
     g = np.stack([gt_pos[j] for _, j in pairs])
     rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
     assert rmse < 0.06, f"KB8 ATE RMSE {rmse:.4f} m"
+
+
+def test_pipeline_mode_parity():
+    """pipeline=True (deferred flag fetch) must track the same scene with
+    comparable accuracy to the synchronous mode."""
+    world = synthetic.make_world(n_landmarks=3000, desc_dim=64, seed=3)
+    R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=30, dt=0.1,
+                                                     speed=0.6, yaw_rate=0.04)
+    frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=512,
+                                       pix_noise=0.4, desc_noise=0.05)
+    slam = MonocularSLAM(world.cam_params, map_capacity=(64, 512, 8192),
+                         desc_dim=64, pipeline=True)
+    for f in frames:
+        slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time)
+    slam.flush()
+    assert slam.tracking_state == T.OK
+    assert slam.n_kf > 5
+    est_t, est_R, est_tcw = slam.get_trajectory()
+    est_pos = np.stack([-est_R[i].T @ est_tcw[i] for i in range(len(est_t))])
+    gt_pos = np.stack([-R_gt[i].T @ t_gt[i] for i in range(len(times))])
+    pairs = trajectory.associate_by_time(est_t, times)
+    e = np.stack([est_pos[i] for i, _ in pairs])
+    g = np.stack([gt_pos[j] for _, j in pairs])
+    rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
+    assert rmse < 0.05, f"pipelined ATE RMSE {rmse:.4f} m"

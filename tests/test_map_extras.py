@@ -263,3 +263,25 @@ class TestFuseIntoKeyframe:
         assert not bool(st2.lm_active[3])
         assert bool(st2.lm_active[10])
         assert np.asarray(st2.kf_landmark_idx[2])[3] == 10
+
+
+def test_kf_cull_cadence_wired():
+    """kf_cull_every triggers KeyFrameCulling during a run; redundant
+    keyframes get deactivated while tracking stays healthy."""
+    from rover_slam_tpu.slam.tracking import TrackerConfig
+    world = synthetic.make_world(n_landmarks=3000, desc_dim=64, seed=9)
+    # Forced dense keyframe insertion -> consecutive keyframes redundant.
+    R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=24, dt=0.1,
+                                                     speed=0.5)
+    frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=512,
+                                       pix_noise=0.4, desc_noise=0.05)
+    from rover_slam_tpu.slam.system import MonocularSLAM
+    slam = MonocularSLAM(world.cam_params, map_capacity=(48, 512, 8192),
+                         desc_dim=64,
+                         config=TrackerConfig(kf_cull_every=4,
+                                              kf_max_interval=1))
+    for f in frames:
+        slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time)
+    assert slam.tracking_state == T.OK
+    n_active = int(jnp.sum(slam.state.kf_active))
+    assert n_active < slam.n_kf, "culling never deactivated a keyframe"
