@@ -119,6 +119,59 @@ def fuse_into_keyframe(state: ms.MapState, kf_id, cam_params,
     return state, jnp.sum(dup), jnp.sum(add)
 
 
+@jax.jit
+def update_distinctive_descriptors(state: ms.MapState, kf_id) -> ms.MapState:
+    """Recompute the representative descriptor of every landmark observed by
+    keyframe kf_id as the observation descriptor with the minimum MEDIAN
+    L2 distance to all other observations of that landmark (reference
+    MapPoint::ComputeDistinctiveDescriptors, src/MapPoint.cc:438 — run per
+    keyframe by LocalMapping::ProcessNewKeyFrame)."""
+    K, L, N = state.K, state.L, state.N
+    D = state.lm_desc.shape[1]
+    # Landmarks touched by this KF (<= N of them).
+    li = state.kf_landmark_idx[kf_id]
+    touched = jnp.clip(li, 0, L - 1)                      # [N]
+    t_valid = (li >= 0) & state.kf_kpt_valid[kf_id] \
+        & state.lm_active[touched]
+
+    # Per-KF inverse slot table for the touched landmarks: slot of landmark
+    # touched[n] in keyframe k (or N = none).
+    li_all = state.kf_landmark_idx                        # [K, Nk]
+    lm_of = jnp.where((li_all >= 0) & state.kf_kpt_valid
+                      & state.kf_active[:, None], li_all, L)
+    inv_slot = jnp.full((K, L + 1), N, jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], lm_of.shape)
+    inv_slot = inv_slot.at[rows, lm_of].min(
+        jnp.broadcast_to(jnp.arange(N)[None, :], lm_of.shape))
+    slot_tk = inv_slot[:, touched].T                      # [N, K]
+    has_obs = slot_tk < N                                 # [N, K]
+
+    # Gather observation descriptors [N, K, D] (pad row N -> zeros).
+    desc_pad = jnp.concatenate(
+        [state.kf_desc, jnp.zeros((K, 1, D), state.kf_desc.dtype)], axis=1)
+    obs_desc = desc_pad[jnp.arange(K)[None, :],
+                        jnp.clip(slot_tk, 0, N)].astype(jnp.float32)
+
+    # Pairwise L2^2 among observations of each landmark: [N, K, K].
+    d2 = (jnp.sum(obs_desc ** 2, -1)[:, :, None]
+          + jnp.sum(obs_desc ** 2, -1)[:, None, :]
+          - 2.0 * jnp.einsum("nkd,nqd->nkq", obs_desc, obs_desc))
+    big = jnp.float32(1e9)
+    pair_ok = has_obs[:, :, None] & has_obs[:, None, :]
+    d2 = jnp.where(pair_ok, jnp.maximum(d2, 0.0), jnp.nan)
+    med = jnp.nanmedian(d2, axis=2)                       # [N, K]
+    med = jnp.where(has_obs, med, big)
+    best_k = jnp.argmin(med, axis=1)                      # [N]
+    new_desc = obs_desc[jnp.arange(med.shape[0]), best_k]
+    write = t_valid & (jnp.min(med, axis=1) < big)
+    # Non-written slots are routed OUT OF BOUNDS (dropped) — with plain clip
+    # they would all collide on landmark 0 and could overwrite the real entry.
+    touched_w = jnp.where(write, touched, L)
+    lm_desc = state.lm_desc.at[touched_w].set(
+        new_desc.astype(state.lm_desc.dtype), mode="drop")
+    return state.replace(lm_desc=lm_desc)
+
+
 @functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))
 def global_ba(state: ms.MapState, cam_params, cam_kind: int = cameras.PINHOLE,
               iters: int = 10) -> ms.MapState:

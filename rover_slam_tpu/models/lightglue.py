@@ -210,6 +210,95 @@ def extract_matches(log_assignment: jnp.ndarray, mask0, mask1,
             "mscores0": jnp.where(ok, sc, 0.0)}
 
 
+# ---------------------------------------------------------------------------
+# Public-checkpoint loading (official lightglue `superpoint_lightglue.pth`)
+# ---------------------------------------------------------------------------
+
+def load_torch_weights(path: str, num_layers: int = 9, dim: int = 256):
+    """Convert the official LightGlue checkpoint (Lindenberger et al.,
+    github.com/cvg/LightGlue `superpoint_lightglue.pth` state-dict layout,
+    weights under `transformers.{i}.self_attn/cross_attn`) into this module's
+    Flax param tree.
+
+    Mapping notes:
+    - the official SelfBlock fuses q/k/v into one `Wqkv` [3D, D]; split into
+      our to_q/to_k/to_v thirds.
+    - the official CrossBlock SHARES the q/k projection (`to_qk`): mapped to
+      both to_q and to_k (functionally identical).
+    - each block's `ffn` is Sequential(Linear 2D->2D, LayerNorm, GELU,
+      Linear 2D->D) == our ConcatFFN fc1/ln/fc2.
+    - only the LAST layer's `log_assignment` head is used (no early exit).
+
+    This environment has no network egress so conversion is validated
+    structurally (see tests/test_lightglue.py); run a golden-output
+    comparison against the ONNX reference when the real checkpoint is
+    available.
+    """
+    import numpy as np
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    def t(name):   # torch Linear weight [out,in] -> flax kernel [in,out]
+        return jnp.asarray(np.asarray(sd[name], np.float32).T)
+
+    def v(name):
+        return jnp.asarray(np.asarray(sd[name], np.float32))
+
+    params = {
+        "input_proj": {"kernel": t("input_proj.weight"),
+                       "bias": v("input_proj.bias")},
+        "posenc": {"Wr": {"kernel": t("posenc.Wr.weight")}},
+        "final_proj": {
+            "kernel": t(f"log_assignment.{num_layers - 1}.final_proj.weight"),
+            "bias": v(f"log_assignment.{num_layers - 1}.final_proj.bias")},
+        "matchability": {
+            "kernel": t(f"log_assignment.{num_layers - 1}.matchability.weight"),
+            "bias": v(f"log_assignment.{num_layers - 1}.matchability.bias")},
+    }
+    for i in range(num_layers):
+        p = f"transformers.{i}"
+        Wqkv = t(f"{p}.self_attn.Wqkv.weight")        # [D, 3D] after .T
+        bqkv = v(f"{p}.self_attn.Wqkv.bias")          # [3D]
+        qk = t(f"{p}.cross_attn.to_qk.weight")
+        bqk = v(f"{p}.cross_attn.to_qk.bias")
+
+        def ffn(prefix):
+            return {
+                "fc1": {"kernel": t(f"{prefix}.ffn.0.weight"),
+                        "bias": v(f"{prefix}.ffn.0.bias")},
+                "ln": {"scale": v(f"{prefix}.ffn.1.weight"),
+                       "bias": v(f"{prefix}.ffn.1.bias")},
+                "fc2": {"kernel": t(f"{prefix}.ffn.3.weight"),
+                        "bias": v(f"{prefix}.ffn.3.bias")},
+            }
+
+        params[f"layer_{i}"] = {
+            "self_attn": {
+                "to_q": {"kernel": Wqkv[:, 0:dim], "bias": bqkv[0:dim]},
+                "to_k": {"kernel": Wqkv[:, dim:2 * dim],
+                         "bias": bqkv[dim:2 * dim]},
+                "to_v": {"kernel": Wqkv[:, 2 * dim:3 * dim],
+                         "bias": bqkv[2 * dim:3 * dim]},
+                "to_out": {"kernel": t(f"{p}.self_attn.out_proj.weight"),
+                           "bias": v(f"{p}.self_attn.out_proj.bias")},
+            },
+            "self_ffn": ffn(f"{p}.self_attn"),
+            "cross_attn": {
+                "to_q": {"kernel": qk, "bias": bqk},
+                "to_k": {"kernel": qk, "bias": bqk},
+                "to_v": {"kernel": t(f"{p}.cross_attn.to_v.weight"),
+                         "bias": v(f"{p}.cross_attn.to_v.bias")},
+                "to_out": {"kernel": t(f"{p}.cross_attn.to_out.weight"),
+                           "bias": v(f"{p}.cross_attn.to_out.bias")},
+            },
+            "cross_ffn": ffn(f"{p}.cross_attn"),
+        }
+    return params
+
+
 class LightGlueMatcher:
     """Wrapper playing the role of the reference's LightGlueDecoupleOnnxRunner
     (src/Matchers/lightglue_onnx.cpp): init params once, jitted batched matching."""

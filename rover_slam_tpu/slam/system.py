@@ -134,6 +134,8 @@ class MonocularSLAM:
 
         if not ok:
             self._lost_frames += 1
+            if self.tracking_state != T.RECENTLY_LOST:
+                self._lost_since = frame.time
             self.tracking_state = T.RECENTLY_LOST
             if self._lost_frames >= 2 and self.n_kf >= 2:
                 # Global relocalization (reference Relocalization after the
@@ -151,6 +153,13 @@ class MonocularSLAM:
                         self.velocity = None
                         self._lost_frames = 0
                         ok = True
+            if (not ok and self.tracking_state == T.RECENTLY_LOST
+                    and frame.time - self._lost_since
+                    > self.cfg.time_recently_lost_s):
+                # Grace window over: declare LOST, reset-or-new-map
+                # (reference src/Tracking.cc:2257-2316).
+                self.tracking_state = T.LOST
+                self._on_tracking_lost(frame)
         else:
             self._lost_frames = 0
             self.tracking_state = T.OK
@@ -169,6 +178,34 @@ class MonocularSLAM:
         return {"state": self.tracking_state,
                 "n_inliers": self._last_n_inl,
                 "pose": (frame.R_cw, frame.t_cw)}
+
+    _lost_since = 0.0
+
+    def _on_tracking_lost(self, frame):
+        """Tracking declared LOST after the grace window (reference
+        src/Tracking.cc:2296-2316): a young active map (<10 KFs) is discarded
+        outright; a mature one is kept in the Atlas for later
+        place-recognition merge. Either way tracking restarts in a FRESH map
+        (CreateMapInAtlas, src/Tracking.cc:3167)."""
+        from ..map import atlas
+        st = self.state
+        active = int(st.active_map_id)
+        in_map = st.kf_active & (st.kf_map_id == active)
+        n_map_kfs = int(jnp.sum(in_map))
+        if n_map_kfs < self.cfg.min_kfs_keep_map:
+            lm_in = st.lm_active & (st.lm_map_id == active)
+            st = st.replace(
+                kf_active=st.kf_active & ~in_map,
+                kf_landmark_idx=jnp.where(in_map[:, None], -1,
+                                          st.kf_landmark_idx))
+            st = ms.remove_landmarks(st, lm_in)
+        self.state = atlas.create_new_map(st)
+        self.tracking_state = T.NO_IMAGES_YET
+        self.init_frame = None
+        self.velocity = None
+        self._lost_frames = 0
+        self._pending = None
+        self._kf_scalars = None
 
     def flush(self):
         """Resolve the in-flight frame (pipeline mode). Call before reading

@@ -62,6 +62,11 @@ class TrackerConfig:
                             # src/LocalMapping.cc:1310; 0 = off — synthetic
                             # full-visibility scenes mark everything redundant)
     kf_cull_redundancy: float = 0.9   # reference: 90% of MPs seen >=3x elsewhere
+    time_recently_lost_s: float = 2.0  # RECENTLY_LOST grace window before LOST
+                                       # (reference 2s visual / 5s inertial,
+                                       # src/Tracking.cc:2273,2287)
+    min_kfs_keep_map: int = 10  # on LOST: reset map if younger, else new
+                                # Atlas map (src/Tracking.cc:2302-2308)
     init_depth_scale: bool = True     # rescale init map to median depth 1
 
 
@@ -370,6 +375,11 @@ def _track_step_kernel(state: ms.MapState,
         search_mask = state.lm_active & lm_local
     else:
         search_mask = state.lm_active
+    # Never project landmarks of a non-active Atlas map: after
+    # CreateMapInAtlas they live in a different world frame until a
+    # place-recognition merge aligns them (reference tracks strictly in the
+    # active map, src/Tracking.cc:2049-2086).
+    search_mask = search_mask & (state.lm_map_id == state.active_map_id)
     uv, depth, visible = assoc.project_landmarks(
         state.lm_pos, search_mask, R1, t1, cam_params, cam_kind, image_hw)
     kpt_lm, _ = assoc.projection_match(uv, state.lm_desc.astype(jnp.float32),
@@ -425,6 +435,9 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     # between CreateNewMapPoints and the local BA, src/LocalMapping.cc:156).
     from ..map import maintenance as mnt
     state, _, _ = mnt.fuse_into_keyframe(state, kf_id, cam_params, cam_kind)
+    # Refresh representative descriptors of the touched landmarks (reference
+    # ComputeDistinctiveDescriptors in ProcessNewKeyFrame).
+    state = mnt.update_distinctive_descriptors(state, kf_id)
 
     if run_ba:
         window, opt_mask = _covis_window(state, kf_id, n_opt, n_fixed)
@@ -464,7 +477,7 @@ def _relocalize_kernel(state: ms.MapState, cur_kpts, cur_desc, cur_valid,
     from ..optim import pnp
     matches, _ = assoc.mutual_nn_match(
         cur_desc, cur_valid, state.lm_desc.astype(jnp.float32),
-        state.lm_active, ratio=0.8)
+        state.lm_active & (state.lm_map_id == state.active_map_id), ratio=0.8)
     L = state.L
     m = jnp.clip(matches, 0, L - 1)
     ok_m = matches >= 0

@@ -163,3 +163,50 @@ def test_pipeline_mode_parity():
     g = np.stack([gt_pos[j] for _, j in pairs])
     rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
     assert rmse < 0.05, f"pipelined ATE RMSE {rmse:.4f} m"
+
+
+def test_lost_spawns_new_atlas_map():
+    """After the RECENTLY_LOST grace window expires, a mature map is kept in
+    the Atlas and tracking restarts in a FRESH map (reference LOST handling +
+    CreateMapInAtlas, src/Tracking.cc:2296-2316,3167)."""
+    world = synthetic.make_world(n_landmarks=3000, desc_dim=64, seed=5)
+    R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=25, dt=0.1,
+                                                     speed=0.6, yaw_rate=0.04)
+    frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=512,
+                                       pix_noise=0.4, desc_noise=0.05)
+    slam = MonocularSLAM(world.cam_params, map_capacity=(96, 512, 16384),
+                         desc_dim=64)
+    for f in frames:
+        slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time)
+    assert slam.tracking_state == T.OK
+    n_kf_map0 = slam.n_kf
+    assert n_kf_map0 >= 10          # mature map -> must be KEPT
+
+    # Garbage frames (unmatchable) past the 2 s grace window.
+    rng = np.random.default_rng(0)
+    t0 = frames[-1].time
+    for i in range(1, 26):
+        bad_desc = rng.normal(size=(512, 64)).astype(np.float32)
+        bad_desc /= np.linalg.norm(bad_desc, axis=1, keepdims=True)
+        kpts = rng.uniform(0, 400, (512, 2)).astype(np.float32)
+        slam.track_frame(kpts, np.ones((512, 3), np.float32), bad_desc,
+                         np.ones(512, bool), t0 + 0.1 * i)
+        if slam.tracking_state == T.NO_IMAGES_YET:
+            break
+    assert int(slam.state.active_map_id) == 1, "no new Atlas map created"
+    # Old map kept (mature).
+    assert int(jnp.sum(slam.state.kf_active
+                       & (slam.state.kf_map_id == 0))) == n_kf_map0
+
+    # Re-track a NEW world in the fresh map: must initialize again.
+    world2 = synthetic.make_world(n_landmarks=3000, desc_dim=64, seed=6)
+    R2, t2, times2 = synthetic.forward_trajectory(n_frames=14, dt=0.1,
+                                                  speed=0.6)
+    frames2 = synthetic.render_sequence(world2, R2, t2, times2, n_kpts=512,
+                                        pix_noise=0.4, desc_noise=0.05)
+    for f in frames2:
+        slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time + 100.0)
+    assert slam.tracking_state == T.OK, "did not reinitialize in the new map"
+    new_kfs = int(jnp.sum(slam.state.kf_active
+                          & (slam.state.kf_map_id == 1)))
+    assert new_kfs >= 2

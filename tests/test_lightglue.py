@@ -87,3 +87,64 @@ def test_batched_pairs(matcher):
     out1 = matcher(k0[1:2], d0[1:2], m0[1:2], k1[1:2], d1[1:2], m1[1:2])
     np.testing.assert_allclose(np.asarray(out["matches0"][1]),
                                np.asarray(out1["matches0"][0]))
+
+
+def test_torch_checkpoint_conversion(tmp_path):
+    """load_torch_weights maps a state dict in the official LightGlue layout
+    onto the Flax tree, and the converted params run (cross q==k shared)."""
+    import torch
+    import numpy as np
+    from rover_slam_tpu.models.lightglue import (LightGlue, LightGlueMatcher,
+                                                 load_torch_weights)
+    D, L = 64, 2
+    rng = np.random.default_rng(0)
+
+    def lin(o, i):
+        return (torch.tensor(rng.normal(0, 0.02, (o, i)).astype(np.float32)),
+                torch.tensor(rng.normal(0, 0.02, o).astype(np.float32)))
+
+    sd = {}
+    w, b = lin(D, 256); sd["input_proj.weight"], sd["input_proj.bias"] = w, b
+    sd["posenc.Wr.weight"] = torch.tensor(
+        rng.normal(0, 1, (D // 4 // 2, 2)).astype(np.float32))
+    for i in range(L):
+        p = f"transformers.{i}"
+        w, b = lin(3 * D, D)
+        sd[f"{p}.self_attn.Wqkv.weight"], sd[f"{p}.self_attn.Wqkv.bias"] = w, b
+        w, b = lin(D, D)
+        sd[f"{p}.self_attn.out_proj.weight"], sd[f"{p}.self_attn.out_proj.bias"] = w, b
+        w, b = lin(D, D)
+        sd[f"{p}.cross_attn.to_qk.weight"], sd[f"{p}.cross_attn.to_qk.bias"] = w, b
+        w, b = lin(D, D)
+        sd[f"{p}.cross_attn.to_v.weight"], sd[f"{p}.cross_attn.to_v.bias"] = w, b
+        w, b = lin(D, D)
+        sd[f"{p}.cross_attn.to_out.weight"], sd[f"{p}.cross_attn.to_out.bias"] = w, b
+        for blk in ("self_attn", "cross_attn"):
+            w, b = lin(2 * D, 2 * D)
+            sd[f"{p}.{blk}.ffn.0.weight"], sd[f"{p}.{blk}.ffn.0.bias"] = w, b
+            sd[f"{p}.{blk}.ffn.1.weight"] = torch.ones(2 * D)
+            sd[f"{p}.{blk}.ffn.1.bias"] = torch.zeros(2 * D)
+            w, b = lin(D, 2 * D)
+            sd[f"{p}.{blk}.ffn.3.weight"], sd[f"{p}.{blk}.ffn.3.bias"] = w, b
+    w, b = lin(D, D)
+    sd[f"log_assignment.{L-1}.final_proj.weight"] = w
+    sd[f"log_assignment.{L-1}.final_proj.bias"] = b
+    w, b = lin(1, D)
+    sd[f"log_assignment.{L-1}.matchability.weight"] = w
+    sd[f"log_assignment.{L-1}.matchability.bias"] = b
+
+    path = str(tmp_path / "lg.pth")
+    torch.save(sd, path)
+    params = load_torch_weights(path, num_layers=L, dim=D)
+    # Cross-attention q/k share the official to_qk weights.
+    np.testing.assert_array_equal(
+        np.asarray(params["layer_0"]["cross_attn"]["to_q"]["kernel"]),
+        np.asarray(params["layer_0"]["cross_attn"]["to_k"]["kernel"]))
+    # Structure matches the model's init tree and the params actually run.
+    m = LightGlueMatcher(params=params, num_kpts=32, num_layers=L, dim=D)
+    N = 32
+    k = jnp.asarray(rng.uniform(-1, 1, (1, N, 2)).astype(np.float32))
+    d = jnp.asarray(rng.normal(0, 1, (1, N, 256)).astype(np.float32))
+    mask = jnp.ones((1, N), bool)
+    out = m(k, d, mask, k, d, mask)
+    assert out["matches0"].shape == (1, N)

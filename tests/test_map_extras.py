@@ -285,3 +285,38 @@ def test_kf_cull_cadence_wired():
     assert slam.tracking_state == T.OK
     n_active = int(jnp.sum(slam.state.kf_active))
     assert n_active < slam.n_kf, "culling never deactivated a keyframe"
+
+
+def test_distinctive_descriptor_recompute():
+    """Landmark descriptor becomes the min-median-L2 observation descriptor
+    (reference MapPoint::ComputeDistinctiveDescriptors): with observations
+    {a, a+eps, outlier}, one of the two consistent ones must win."""
+    st = ms.empty_map(K=8, N=16, L=32, D=16)
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=16).astype(np.float32)
+    a /= np.linalg.norm(a)
+    eps = a + 0.05 * rng.normal(size=16).astype(np.float32)
+    eps /= np.linalg.norm(eps)
+    outlier = rng.normal(size=16).astype(np.float32)
+    outlier /= np.linalg.norm(outlier)
+    # Landmark 0 created with the OUTLIER as its stored descriptor.
+    st, _ = ms.add_landmarks(st, jnp.zeros((1, 3)),
+                             jnp.asarray(outlier[None]),
+                             jnp.zeros((1, 3)), jnp.zeros(1, jnp.int32),
+                             jnp.ones(1, bool))
+    lidx = np.full(16, -1, np.int32); lidx[0] = 0
+    for d in (a, eps, outlier):
+        descs = np.zeros((16, 16), np.float32)
+        descs[0] = d
+        st, _ = ms.add_keyframe(st, jnp.eye(3), jnp.zeros(3),
+                                jnp.zeros((16, 2)), jnp.ones((16, 3)),
+                                jnp.asarray(descs),
+                                jnp.asarray(np.arange(16) < 1),
+                                jnp.asarray(lidx), 0.0)
+    st2 = maintenance.update_distinctive_descriptors(
+        st, jnp.asarray(2, jnp.int32))
+    new = np.asarray(st2.lm_desc[0], np.float32)
+    d_a = min(np.linalg.norm(new - a), np.linalg.norm(new - eps))
+    d_out = np.linalg.norm(new - outlier)
+    assert d_a < 1e-5, "descriptor is not one of the consistent observations"
+    assert d_out > 0.1
