@@ -33,19 +33,23 @@ class MonocularSLAM:
     def __init__(self, cam_params, config: Optional[T.TrackerConfig] = None,
                  map_capacity=(128, 512, 8192), desc_dim: int = 64,
                  enable_loop_closing: bool = False, loop_config=None,
-                 pipeline: bool = False):
-        """pipeline=True defers the per-frame scalar fetch by ONE frame: the
-        tracking kernel for frame i is dispatched asynchronously and its
-        ok/inlier flags are read while frame i+1's kernel runs on device, so
-        the host<->device round trip (tens of ms on remote/tunneled TPU
-        backends) overlaps with compute instead of serializing the loop. The
-        state machine (LOST handling, relocalization, keyframe insertion)
-        lags one frame — the same tolerance the reference accepts by queueing
-        keyframes to its asynchronous LocalMapping thread. Call flush() before
-        reading final results."""
+                 pipeline=False):
+        """pipeline=K (int, or True=4) defers the per-frame scalar fetch by K
+        frames: the tracking kernel for frame i is dispatched asynchronously,
+        its ok/inlier flags start an async device->host copy immediately, and
+        the flags are read K frames later — by which time both the compute
+        and the transfer have completed, so the host<->device round trip
+        (tens of ms on remote/tunneled TPU backends) fully overlaps with
+        compute instead of serializing the loop. The state machine (LOST
+        handling, relocalization, keyframe insertion) lags K frames — the
+        same tolerance the reference accepts by queueing keyframes to its
+        asynchronous LocalMapping thread. Call flush() before reading final
+        results."""
+        from collections import deque
         self.cfg = config or T.TrackerConfig()
-        self.pipeline = pipeline
-        self._pending = None          # (frame, flags_future)
+        self.pipeline_depth = (4 if pipeline is True else int(pipeline))
+        self.pipeline = self.pipeline_depth > 0
+        self._pending = deque()       # FIFO of (frame, flags_future)
         self.cam_params = jnp.asarray(cam_params)
         K, N, L = map_capacity
         self.state = ms.empty_map(K=K, N=N, L=L, D=desc_dim)
@@ -84,15 +88,6 @@ class MonocularSLAM:
                 self._log_pose(frame)
             return info
 
-        # Resolve the previous frame's deferred flags first (pipeline mode):
-        # its kernel has been executing on device while the host prepared this
-        # frame, so the fetch below rarely stalls.
-        info_prev = None
-        if self._pending is not None:
-            pf, pflags = self._pending
-            self._pending = None
-            info_prev = self._finish_track(pf, pflags)
-
         # --- normal tracking: ONE fused kernel dispatch + one scalar fetch ---
         with self.timers.stage("lm_track"):
             R0, t0 = self._predict_pose()
@@ -112,11 +107,21 @@ class MonocularSLAM:
 
         if self.pipeline:
             # Defer the scalar fetch; keep the motion model lazily up to date
-            # with device values (no sync).
-            self._pending = (frame, flags)
+            # with device values (no sync). Start the device->host copy NOW so
+            # it rides behind the already-queued compute and is resident on
+            # host by the time _finish_track reads it K frames later.
+            try:
+                flags.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._pending.append((frame, flags))
             self._update_motion_model(frame)
             self.last_frame = frame
             self.frames_since_kf += 1
+            info_prev = None
+            while len(self._pending) > self.pipeline_depth:
+                pf, pflags = self._pending.popleft()
+                info_prev = self._finish_track(pf, pflags)
             return info_prev if info_prev is not None else \
                 {"state": self.tracking_state, "queued": True}
 
@@ -204,17 +209,17 @@ class MonocularSLAM:
         self.init_frame = None
         self.velocity = None
         self._lost_frames = 0
-        self._pending = None
+        self._pending.clear()   # in-flight frames tracked the discarded map
         self._kf_scalars = None
 
     def flush(self):
-        """Resolve the in-flight frame (pipeline mode). Call before reading
+        """Resolve all in-flight frames (pipeline mode). Call before reading
         final trajectories/state."""
-        if self._pending is not None:
-            pf, pflags = self._pending
-            self._pending = None
-            return self._finish_track(pf, pflags)
-        return None
+        info = None
+        while self._pending:
+            pf, pflags = self._pending.popleft()
+            info = self._finish_track(pf, pflags)
+        return info
 
     # ------------------------------------------------------------------
     def _monocular_init(self, frame: T.FrameData) -> bool:
@@ -357,6 +362,10 @@ class MonocularSLAM:
         self.frames_since_kf = 0
         kf_id_i = self.n_kf - 1
         if self.pipeline and self.loop_closer is None:
+            try:
+                scalars.copy_to_host_async()
+            except AttributeError:
+                pass
             self._kf_scalars = scalars   # deferred fetch (see _need_new_keyframe)
         else:
             self.ref_kf_tracked = int(np.asarray(scalars)[3])
