@@ -7,11 +7,15 @@
 // driver never blocks on file IO or image decode while the TPU computes:
 // a pthread prefetcher decodes ahead into a ring of pinned buffers.
 //
-// Formats: 8-bit binary PGM (P5) images (EuRoC grayscale re-encoded, or any
-// pipeline's intermediate), EuRoC-style CSV (timestamp_ns,filename / IMU rows).
-// Exposed via a C ABI for ctypes (no pybind11 in this image).
+// Formats: 8-bit grayscale PNG (EuRoC/TUM-VI ship PNGs; decoded via libpng,
+// color inputs are converted to luma), 8-bit binary PGM (P5), EuRoC-style CSV
+// (timestamp_ns,filename / IMU rows). Image readers dispatch on the file
+// magic, not the extension. Exposed via a C ABI for ctypes (no pybind11 in
+// this image).
 //
-// Build: see Makefile (g++ -O3 -shared -fPIC -pthread).
+// Build: see Makefile (g++ -O3 -shared -fPIC -pthread -lpng).
+
+#include <png.h>
 
 #include <cstdint>
 #include <cstdio>
@@ -92,6 +96,39 @@ bool read_pgm(const std::string& path, std::vector<uint8_t>* data,
   return n == data->size();
 }
 
+// 8-bit grayscale PNG decode via the libpng simplified API; color PNGs are
+// converted to single-channel luma (what cv::imread(..., IMREAD_GRAYSCALE)
+// gives the reference's mains).
+bool read_png(const std::string& path, std::vector<uint8_t>* data,
+              int* w, int* h) {
+  png_image img;
+  std::memset(&img, 0, sizeof img);
+  img.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&img, path.c_str())) return false;
+  img.format = PNG_FORMAT_GRAY;
+  *w = int(img.width);
+  *h = int(img.height);
+  data->resize(PNG_IMAGE_SIZE(img));
+  if (!png_image_finish_read(&img, nullptr, data->data(), 0, nullptr)) {
+    png_image_free(&img);
+    return false;
+  }
+  return true;
+}
+
+// Dispatch on file magic: \x89PNG -> PNG, "P5" -> PGM.
+bool read_image(const std::string& path, std::vector<uint8_t>* data,
+                int* w, int* h) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  unsigned char magic[2] = {0, 0};
+  size_t n = std::fread(magic, 1, 2, f);
+  std::fclose(f);
+  if (n != 2) return false;
+  if (magic[0] == 0x89 && magic[1] == 'P') return read_png(path, data, w, h);
+  return read_pgm(path, data, w, h);
+}
+
 struct Prefetcher {
   std::vector<std::string> paths;
   int width = 0, height = 0;
@@ -129,7 +166,7 @@ struct Prefetcher {
         if (stop.load()) return;
       }
       int w = 0, h = 0;
-      bool ok = read_pgm(paths[i], &ring[slot], &w, &h);
+      bool ok = read_image(paths[i], &ring[slot], &w, &h);
       if (ok) { width = w; height = h; }
       state[slot].store(ok ? 1 : 2);
       cv.notify_all();
@@ -184,13 +221,18 @@ int csv_field(void* h, long i, char* out, int cap) {
 }
 void csv_close(void* h) { delete (Csv*)h; }
 
-// ---- PGM single read ----
-int pgm_read(const char* path, uint8_t* dst, long cap, int* w, int* h) {
+// ---- single image read (PNG or PGM, by magic) ----
+int image_read(const char* path, uint8_t* dst, long cap, int* w, int* h) {
   std::vector<uint8_t> buf;
-  if (!read_pgm(path, &buf, w, h)) return -1;
+  if (!read_image(path, &buf, w, h)) return -1;
   if ((long)buf.size() > cap) return -2;
   std::memcpy(dst, buf.data(), buf.size());
   return 0;
+}
+
+// Kept for ABI compatibility; now also accepts PNG.
+int pgm_read(const char* path, uint8_t* dst, long cap, int* w, int* h) {
+  return image_read(path, dst, cap, w, h);
 }
 
 // ---- Threaded prefetcher ----

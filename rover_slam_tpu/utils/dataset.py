@@ -43,10 +43,13 @@ def _load_lib():
     lib.csv_field.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p,
                               ctypes.c_int]
     lib.csv_close.argtypes = [ctypes.c_void_p]
-    lib.pgm_read.restype = ctypes.c_int
-    lib.pgm_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
-                             ctypes.c_long, ctypes.POINTER(ctypes.c_int),
-                             ctypes.POINTER(ctypes.c_int)]
+    for fn in ("pgm_read", "image_read"):
+        if not hasattr(lib, fn):
+            continue
+        getattr(lib, fn).restype = ctypes.c_int
+        getattr(lib, fn).argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     lib.prefetch_open.restype = ctypes.c_void_p
     lib.prefetch_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
                                   ctypes.c_long, ctypes.c_long]
@@ -93,19 +96,25 @@ def read_csv(path: str, numeric: bool):
         lib.csv_close(h)
 
 
-def read_pgm(path: str) -> np.ndarray:
+def read_image(path: str) -> np.ndarray:
+    """Decode an 8-bit grayscale image (PNG or PGM, dispatched on the file
+    magic — EuRoC/TUM-VI ship PNGs). Native libpng path with a pure-Python
+    zlib fallback."""
     lib = _load_lib()
     if lib is None:
-        return _read_pgm_py(path)
+        return _read_image_py(path)
     cap = 8192 * 8192
     buf = np.zeros(cap, np.uint8)
     w = ctypes.c_int()
     h = ctypes.c_int()
-    rc = lib.pgm_read(path.encode(), buf.ctypes.data_as(
+    rc = lib.image_read(path.encode(), buf.ctypes.data_as(
         ctypes.POINTER(ctypes.c_uint8)), cap, ctypes.byref(w), ctypes.byref(h))
     if rc != 0:
-        raise IOError(f"pgm_read({path}) -> {rc}")
+        raise IOError(f"image_read({path}) -> {rc}")
     return buf[: w.value * h.value].reshape(h.value, w.value).copy()
+
+
+read_pgm = read_image  # backwards-compatible name
 
 
 class ImagePrefetcher:
@@ -186,6 +195,79 @@ def _read_csv_py(path, numeric):
     if numeric:
         return np.asarray(ts), np.asarray(other)
     return np.asarray(ts), other
+
+
+def _read_image_py(path):
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x89P":
+        return _read_png_py(path)
+    return _read_pgm_py(path)
+
+
+def _read_png_py(path):
+    """Minimal grayscale PNG decode: IHDR/IDAT chunks, zlib inflate, per-row
+    un-filtering (spec filters 0-4). Color inputs are reduced to luma. Only
+    8-bit depth, no interlacing (EuRoC/TUM-VI PNGs are plain gray8)."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, idat, ihdr = 8, [], None
+    while pos < len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    w, h, depth, color, _, _, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise IOError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
+            np.uint8).astype(np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 2:   # Up
+            row = (row + prev) & 0xFF
+        else:              # Sub/Average/Paeth need a left-to-right scan
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # 4 Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+            row = cur
+        out[y] = row.astype(np.uint8)
+        prev = row
+    img = out.reshape(h, w, nch)
+    if color == 2 or color == 6:   # RGB(A) -> luma (BT.601, like OpenCV)
+        rgb = img[:, :, :3].astype(np.float32)
+        return (rgb @ np.array([0.299, 0.587, 0.114], np.float32)
+                ).round().astype(np.uint8)
+    return img[:, :, 0].copy()
 
 
 def _read_pgm_py(path):

@@ -72,6 +72,72 @@ def test_prefetcher_ordered(euroc_dir):
         np.testing.assert_array_equal(imgs[i], dataset.read_pgm(p))
 
 
+def _write_png_gray8(path, img, filters=False):
+    """Minimal PNG encoder for test fixtures (gray8; optional Up/Sub filters
+    to exercise the decoder's un-filtering)."""
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + \
+            struct.pack(">I", zlib.crc32(t + b))
+
+    h, w = img.shape
+    rows = []
+    prev = np.zeros(w, np.int32)
+    for y in range(h):
+        r = img[y].astype(np.int32)
+        if filters and y % 3 == 1:      # Up filter
+            rows.append(b"\x02" + ((r - prev) & 0xFF).astype(np.uint8).tobytes())
+        elif filters and y % 3 == 2:    # Sub filter
+            d = r.copy()
+            d[1:] = (r[1:] - r[:-1]) & 0xFF
+            rows.append(b"\x01" + d.astype(np.uint8).tobytes())
+        else:
+            rows.append(b"\x00" + r.astype(np.uint8).tobytes())
+        prev = r
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def test_png_decode(tmp_path):
+    """EuRoC/TUM-VI ship PNGs — both the libpng path and the pure-Python
+    fallback must decode gray8 exactly, for plain and filtered encodings."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (48, 64), np.uint8)
+    for filt in (False, True):
+        p = str(tmp_path / f"f{filt}.png")
+        _write_png_gray8(p, img, filters=filt)
+        np.testing.assert_array_equal(dataset.read_image(p), img)
+        np.testing.assert_array_equal(dataset._read_image_py(p), img)
+
+
+def test_prefetcher_mixed_formats(tmp_path):
+    """The prefetcher dispatches on the file magic, so a sequence can mix
+    PNG and PGM frames."""
+    rng = np.random.default_rng(6)
+    paths, imgs = [], []
+    for i in range(4):
+        img = rng.integers(0, 255, (32, 40), np.uint8)
+        if i % 2 == 0:
+            p = str(tmp_path / f"{i}.png")
+            _write_png_gray8(p, img)
+        else:
+            p = str(tmp_path / f"{i}.pgm")
+            with open(p, "wb") as f:
+                f.write(b"P5\n40 32\n255\n" + img.tobytes())
+        paths.append(p)
+        imgs.append(img)
+    pf = dataset.ImagePrefetcher(paths, depth=2)
+    for i in range(4):
+        np.testing.assert_array_equal(pf.get(i), imgs[i])
+    pf.close()
+
+
 def test_load_euroc_sequence(euroc_dir):
     seq = dataset.load_euroc_sequence(euroc_dir)
     assert len(seq["image_paths"]) == 6
