@@ -298,6 +298,31 @@ def solve_vi_ba(prob: VIBAProblem, cam_kind: int = cameras.PINHOLE,
     return R, p, v, bg, ba, X, costs
 
 
+def merge_inertial_ba(prob: VIBAProblem, weld_slot,
+                      cam_kind: int = cameras.PINHOLE, iters: int = 8,
+                      chi2_th: float = robust.CHI2_MONO, lam0: float = 1e-3):
+    """MergeInertialBA (reference Optimizer::MergeInertialBA
+    src/Optimizer.cc:6017, called from MergeLocal2 src/LoopClosing.cc:2818):
+    VI-BA over the two temporal sliding windows either side of a map weld
+    (reference uses Nd=6 keyframes per side).
+
+    `prob` is the concatenation [old-map window | active-map window],
+    temporally ordered within each side, with `weld_slot` the first slot of
+    the active side. No preintegration spans the weld — the IMU chain is
+    broken at weld_slot-1 -> weld_slot — so the two windows are tied only
+    through the fused landmarks' reprojection edges, exactly like the
+    reference's merged-MP edges. The oldest keyframe of the old side is held
+    fixed as the gauge/boundary anchor (the reference fixes the
+    window-boundary keyframes)."""
+    Kw = prob.R_wb.shape[0]
+    idx = jnp.arange(Kw)
+    prob = prob._replace(
+        imu_valid=prob.imu_valid & (idx != weld_slot - 1),
+        pose_opt_mask=prob.pose_opt_mask & (idx != 0))
+    return solve_vi_ba(prob, cam_kind=cam_kind, iters=iters,
+                       chi2_th=chi2_th, lam0=lam0)
+
+
 def _huber(chi2, delta2):
     delta = jnp.sqrt(delta2)
     r = jnp.sqrt(jnp.maximum(chi2, 1e-12))

@@ -127,8 +127,11 @@ class MonocularInertialSLAM(MonocularSLAM):
         self.v_wb = jnp.zeros(3)
         self.bg = jnp.zeros(3)
         self.ba = jnp.zeros(3)
-        # preintegration segments per keyframe: segment i links kf i -> i+1
+        # preintegration segments: _kf_preints[j] links global keyframe
+        # (_kf_base + j) -> (_kf_base + j + 1); the buffer restarts with each
+        # Atlas map while keyframe ids stay global.
         self._kf_preints: list = []
+        self._kf_base = 0
         self._preint_since_kf: Optional[preint.PreintState] = None
         self.vi_ba_enabled = False
         self._last_refine_kf = 0
@@ -201,7 +204,8 @@ class MonocularInertialSLAM(MonocularSLAM):
                 pass
         # Try IMU initialization on keyframe cadence.
         if (not self.imu_ready and self.tracking_state == T.OK
-                and self.n_kf >= 6 and len(self._kf_preints) >= self.n_kf - 1
+                and self.n_kf - self._kf_base >= 6
+                and len(self._kf_preints) >= self.n_kf - 1 - self._kf_base
                 and self._elapsed_kf_time() >= self.tinit_s):
             self._initialize_imu()
         elif (self.imu_ready and self.tracking_state == T.OK
@@ -299,6 +303,10 @@ class MonocularInertialSLAM(MonocularSLAM):
             # segment cleanly at KF1's time.
             self._kf_preints = [preint.init_state()]
             self._preint_since_kf = None
+            # _kf_preints[j] links global keyframe (_kf_base+j) -> (+j+1):
+            # keyframe ids are Atlas-global while the preint buffer restarts
+            # per map, so window code must offset by the map's first KF id.
+            self._kf_base = self.n_kf - 2
         return ok
 
     def _insert_keyframe(self, frame):
@@ -327,12 +335,30 @@ class MonocularInertialSLAM(MonocularSLAM):
             with self.timers.stage("vi_ba"):
                 self._run_vi_ba()
 
+    def _on_map_merged(self, kf_id: int, info: dict):
+        """Inertial post-merge pass (reference MergeLocal2 -> MergeInertialBA,
+        src/LoopClosing.cc:2818 / src/Optimizer.cc:6017): after the Sim3 weld
+        + visual welding BA, re-establish visual-inertial consistency of the
+        active-side temporal window against the (now-shared) fused landmarks.
+        The two-chain optimizer entry point is optim.vi_ba.merge_inertial_ba;
+        here the old-side chain's preintegrations are no longer buffered (its
+        map predates the current session window), so its keyframes contribute
+        as the fixed visual anchors of the temporal VI-BA — the same role the
+        reference gives the boundary keyframes it fixes."""
+        if self.imu_ready and len(self._kf_preints) >= 3:
+            with self.timers.stage("merge_viba"):
+                self._run_vi_ba(window=min(12, len(self._kf_preints)))
+
     def _run_vi_ba(self, window: int = 8):
         """Temporal-window VI-BA after each keyframe (reference LocalInertialBA
         with maxOpt=10 temporal KFs, src/Optimizer.cc:2203)."""
-        W = min(window, self.n_kf)
-        idx = np.arange(self.n_kf - W, self.n_kf)
-        segs = self._kf_preints[self.n_kf - W:self.n_kf - 1]
+        W = min(window, self.n_kf - self._kf_base)
+        if W < 3:
+            return
+        lo = self.n_kf - W
+        idx = np.arange(lo, self.n_kf)
+        segs = self._kf_preints[lo - self._kf_base:
+                                self.n_kf - 1 - self._kf_base]
 
         def stackf(attr):
             arr = [np.asarray(getattr(s, attr)) for s in segs]
@@ -406,9 +432,10 @@ class MonocularInertialSLAM(MonocularSLAM):
     def _refine_scale(self, max_window: int = 30):
         """Re-run the inertial-only estimator over a longer window and apply
         the residual scale/gravity correction (reference ScaleRefinement)."""
-        W = min(max_window, self.n_kf)
+        W = min(max_window, self.n_kf - self._kf_base)
         lo = self.n_kf - W
-        segs = self._kf_preints[lo:self.n_kf - 1]
+        segs = self._kf_preints[lo - self._kf_base:
+                                self.n_kf - 1 - self._kf_base]
         if len(segs) < 5:
             return
         prob = self._build_init_problem(list(range(lo, self.n_kf)), segs)

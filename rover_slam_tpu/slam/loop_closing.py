@@ -27,7 +27,7 @@ from ..map import keyframe_database as kdb
 from ..ops import association as assoc
 from ..optim import sim3_solver, pose_graph, ba
 
-from .tracking import _local_ba_kernel, _covis_window
+from .tracking import _local_ba_kernel, _local_ba_body, _covis_window
 
 
 @dataclass
@@ -51,6 +51,11 @@ class LoopConfig:
     consistency_needed: int = 3
     min_proj_verify: int = 25
     max_hyp_misses: int = 1
+    # Welding BA after a cross-map merge (reference merge-welding
+    # LocalBundleAdjustment src/Optimizer.cc:5195: optimize the active-side
+    # weld window against the fixed old-map window). 0 disables.
+    welding_ba_iters: int = 8
+    welding_window: int = 6
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind", "fix_scale"))
@@ -282,6 +287,30 @@ def _merge_maps_kernel(state: ms.MapState, kf_q, kf_c, s_qc, R_qc, t_qc):
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("cam_kind", "iters", "nd"))
+def _welding_ba_kernel(state: ms.MapState, kf_q, kf_c, cam_params,
+                       cam_kind: int, iters: int, nd: int):
+    """Two-sided welding BA after a map merge (reference merge-welding
+    LocalBundleAdjustment src/Optimizer.cc:5195, called from MergeLocal
+    src/LoopClosing.cc:2660 region): the active-side weld window (kf_q + its
+    nd-1 best covisibles) is optimized together with the fused landmarks,
+    while the old-map window (kf_c + its nd-1 best covisibles) anchors the
+    merged frame as fixed vertices."""
+    W = ms.covisibility(state)
+    ids_q, _ = ms.best_covisible(W, kf_q, nd - 1)
+    ids_c, _ = ms.best_covisible(W, kf_c, nd - 1)
+    win_q = jnp.concatenate([kf_q[None], ids_q])
+    win_c = jnp.concatenate([kf_c[None], ids_c])
+    # A keyframe can appear in both windows once the merge connects them —
+    # keep the optimized (q-side) copy only.
+    dup = jnp.any(win_c[:, None] == win_q[None, :], axis=1)
+    win_c = jnp.where(dup, -1, win_c)
+    window = jnp.concatenate([win_q, win_c]).astype(jnp.int32)
+    opt = jnp.concatenate([jnp.ones((nd,), bool), jnp.zeros((nd,), bool)])
+    opt = opt & (window > 0)   # keyframe 0 stays a gauge anchor
+    return _local_ba_body(state, window, opt, cam_params, cam_kind, iters)
+
+
 class LoopCloser:
     """Host orchestration of loop detection + correction."""
 
@@ -396,6 +425,12 @@ class LoopCloser:
                 state, jnp.asarray(kf_id, jnp.int32),
                 jnp.asarray(cand, jnp.int32), self.cam_params,
                 self.cfg.cam_kind)
+            if self.cfg.welding_ba_iters > 0:
+                state = _welding_ba_kernel(
+                    state, jnp.asarray(kf_id, jnp.int32),
+                    jnp.asarray(cand, jnp.int32), self.cam_params,
+                    self.cfg.cam_kind, self.cfg.welding_ba_iters,
+                    self.cfg.welding_window)
             info = {"loop": True, "merge": True, "candidate": cand,
                     "n_inliers": n_inl,
                     "scale": float(s), "n_fused": int(n_fused)}

@@ -76,6 +76,7 @@ class StereoInertialSLAM(MonocularInertialSLAM):
         self._last_n_inl = self.ref_kf_tracked
         # IMU segment bookkeeping starts at this first keyframe.
         self._kf_preints = []
+        self._kf_base = self.n_kf - 1
         self._preint_since_kf = None
         self._log_pose(frame)
         return True
@@ -120,9 +121,10 @@ class StereoInertialSLAM(MonocularInertialSLAM):
 
     def _refine_scale(self, max_window: int = 30):
         # Scale is metric from stereo: refine gravity/bias only.
-        W = min(max_window, self.n_kf)
+        W = min(max_window, self.n_kf - self._kf_base)
         lo = self.n_kf - W
-        segs = self._kf_preints[lo:self.n_kf - 1]
+        segs = self._kf_preints[lo - self._kf_base:
+                                self.n_kf - 1 - self._kf_base]
         if len(segs) < 5:
             return
         prob = self._build_init_problem(list(range(lo, self.n_kf)), segs)

@@ -382,6 +382,14 @@ class MonocularSLAM:
                                                                  kf_id_i)
             if linfo.get("loop"):
                 self.loop_events.append((kf_id_i, linfo))
+            if linfo.get("merge"):
+                self._on_map_merged(kf_id_i, linfo)
+
+    def _on_map_merged(self, kf_id: int, info: dict):
+        """Hook: a cross-map weld just happened (the loop closer already ran
+        the visual welding BA). The inertial system overrides this with the
+        MergeInertialBA pass (reference MergeLocal2 -> MergeInertialBA,
+        src/LoopClosing.cc:2818 / src/Optimizer.cc:6017)."""
 
     # ------------------------------------------------------------------
     def _log_pose(self, frame):

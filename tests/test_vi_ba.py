@@ -145,6 +145,55 @@ def test_vi_ba_respects_fixed():
     np.testing.assert_allclose(np.asarray(p[0]), np.asarray(prob.p_wb[0]), atol=0)
 
 
+def test_merge_inertial_ba_welds_two_windows():
+    """MergeInertialBA (reference Optimizer.cc:6017): two temporal windows
+    with NO preintegration spanning the weld must re-align through the shared
+    fused landmarks. The active side starts with a residual rigid
+    misalignment (what's left after the Sim3 weld)."""
+    Kw, weld = 8, 4
+    sim = simulate_vi(Kw=Kw)
+    R_gt, p_gt, v_gt = sim[0], sim[1], sim[2]
+    prob = make_problem(sim, pose_noise=0.0, vel_noise=0.0, lm_noise=0.02)
+    # Residual gravity-consistent misalignment of the active side: yaw + shift.
+    dR = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, 0.04], jnp.float32)))
+    dt_off = np.array([0.06, -0.04, 0.03], np.float32)
+    R0 = np.asarray(prob.R_wb).copy()
+    p0 = np.asarray(prob.p_wb).copy()
+    v0 = np.asarray(prob.v_wb).copy()
+    for k in range(weld, Kw):
+        R0[k] = R0[k] @ dR.T          # R_wb' = (dR R_bw^T)^T... x_w' = dR x_w
+        p0[k] = dR @ p0[k] + dt_off
+        v0[k] = dR @ v0[k]
+    prob = prob._replace(R_wb=jnp.asarray(R0), p_wb=jnp.asarray(p0),
+                         v_wb=jnp.asarray(v0),
+                         pose_opt_mask=jnp.ones(Kw, bool))
+    err_before = np.linalg.norm(p0 - p_gt, axis=1).max()
+    R, p, v, bg, ba, X, costs = vi_ba.merge_inertial_ba(
+        prob, weld_slot=weld, iters=20)
+    assert float(costs[-1]) < float(costs[0])
+    # Gauge anchor respected.
+    np.testing.assert_allclose(np.asarray(p[0]), p0[0], atol=0)
+    p_err = np.linalg.norm(np.asarray(p) - p_gt, axis=1)
+    assert err_before > 0.05            # the weld error was real
+    assert p_err.max() < err_before / 3, (err_before, p_err)
+    v_err = np.linalg.norm(np.asarray(v) - v_gt, axis=1)
+    assert v_err.max() < 0.08, v_err
+
+
+def test_merge_inertial_ba_breaks_imu_chain_at_weld():
+    """The cross-weld preintegration slot must not be used: corrupting it
+    must not change the solution."""
+    Kw, weld = 6, 3
+    sim = simulate_vi(Kw=Kw)
+    prob = make_problem(sim)
+    poisoned = prob._replace(
+        imu_dP=prob.imu_dP.at[weld - 1].set(jnp.asarray([100.0, 0.0, 0.0])))
+    out_a = vi_ba.merge_inertial_ba(prob, weld_slot=weld, iters=4)
+    out_b = vi_ba.merge_inertial_ba(poisoned, weld_slot=weld, iters=4)
+    np.testing.assert_allclose(np.asarray(out_a[1]), np.asarray(out_b[1]),
+                               atol=1e-6)
+
+
 def test_vi_ba_imu_constrains_scale_free_drift():
     """Without IMU edges, a (nearly) unconstrained window drifts; with IMU the
     velocity/gravity coupling pins it."""
