@@ -36,12 +36,25 @@ def main(argv=None):
     ap.add_argument("--sensor", default="monocular")
     ap.add_argument("--out", default="trajectory_tum.txt")
     ap.add_argument("--superpoint-ckpt", default=None)
+    ap.add_argument("--lightglue-ckpt", default=None,
+                    help="official superpoint_lightglue.pth; enables the "
+                         "LightGlue frame-to-frame matcher in the tracker "
+                         "(reference SPmatcher::SearchBySP path)")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--gt", default=None, help="TUM-format ground truth")
     args = ap.parse_args(argv)
 
     settings = load_settings(args.settings, sensor=args.sensor)
-    slam = build_system(settings)
+    matcher = None
+    if args.lightglue_ckpt:
+        from ..models.lightglue import (LightGlueMatcher,
+                                        LightGlueFrameMatcher,
+                                        load_torch_weights as lg_weights)
+        matcher = LightGlueFrameMatcher(
+            LightGlueMatcher(params=lg_weights(args.lightglue_ckpt),
+                             num_kpts=settings.n_features),
+            settings.image_hw)
+    slam = build_system(settings, matcher=matcher)
 
     seq = dataset.load_euroc_sequence(args.data_dir)
     paths = seq["image_paths"][: args.max_frames]

@@ -323,3 +323,24 @@ class LightGlueMatcher:
         la, _, _ = self._forward({"params": self.params},
                                  kpts0, desc0, mask0, kpts1, desc1, mask1)
         return extract_matches(la, mask0, mask1, self.threshold)
+
+
+class LightGlueFrameMatcher:
+    """Adapter: LightGlue as the SLAM tracker's frame-to-frame matcher (the
+    reference's SPmatcher::SearchBySP LightGlue path,
+    src/Matchers/SPmatcher.cc:1050-1080). Plugs into
+    slam.system.MonocularSLAM(matcher=...): called with unbatched pixel
+    keypoints + descriptors + valid masks of two frames, returns [N] int32
+    prev->cur match indices (-1 = unmatched). Dispatch is async — the SLAM
+    loop chains it in front of the tracking kernel without a host sync."""
+
+    def __init__(self, matcher: LightGlueMatcher, image_hw):
+        self.matcher = matcher
+        self.image_hw = tuple(image_hw)
+
+    def __call__(self, kpts0, desc0, valid0, kpts1, desc1, valid1):
+        k0 = normalize_keypoints(kpts0, self.image_hw)[None]
+        k1 = normalize_keypoints(kpts1, self.image_hw)[None]
+        out = self.matcher(k0, desc0[None], valid0[None],
+                           k1, desc1[None], valid1[None])
+        return out["matches0"][0]

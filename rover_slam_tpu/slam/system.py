@@ -33,7 +33,7 @@ class MonocularSLAM:
     def __init__(self, cam_params, config: Optional[T.TrackerConfig] = None,
                  map_capacity=(128, 512, 8192), desc_dim: int = 64,
                  enable_loop_closing: bool = False, loop_config=None,
-                 pipeline=False):
+                 pipeline=False, matcher=None):
         """pipeline=K (int, or True=4) defers the per-frame scalar fetch by K
         frames: the tracking kernel for frame i is dispatched asynchronously,
         its ok/inlier flags start an async device->host copy immediately, and
@@ -44,9 +44,17 @@ class MonocularSLAM:
         handling, relocalization, keyframe insertion) lags K frames — the
         same tolerance the reference accepts by queueing keyframes to its
         asynchronous LocalMapping thread. Call flush() before reading final
-        results."""
+        results.
+
+        matcher: optional learned frame-to-frame matcher (e.g.
+        models.lightglue.LightGlueFrameMatcher) called as
+        matcher(kpts0, desc0, valid0, kpts1, desc1, valid1) -> [N] int32
+        match indices prev->cur — the reference's LightGlue SearchBySP path
+        (src/Matchers/SPmatcher.cc:1050). None = in-kernel mutual-NN
+        descriptor matching."""
         from collections import deque
         self.cfg = config or T.TrackerConfig()
+        self.matcher = matcher
         self.pipeline_depth = (4 if pipeline is True else int(pipeline))
         self.pipeline = self.pipeline_depth > 0
         self._pending = deque()       # FIFO of (frame, flags_future)
@@ -94,6 +102,12 @@ class MonocularSLAM:
             prev = self.last_frame
             prev_lidx = prev.landmark_idx if prev.landmark_idx is not None \
                 else jnp.full((self.state.N,), -1, jnp.int32)
+            ext_matches = None
+            if self.matcher is not None:
+                # Learned matcher (LightGlue) dispatched asynchronously ahead
+                # of the tracking kernel — no host sync between the two.
+                ext_matches = self.matcher(prev.kpts, prev.desc, prev.valid,
+                                           frame.kpts, frame.desc, frame.valid)
             R2, t2, cur_lm, flags = T._track_step_kernel(
                 self.state, prev.desc, prev.valid, prev_lidx,
                 frame.kpts, frame.desc, frame.valid, R0, t0,
@@ -102,7 +116,8 @@ class MonocularSLAM:
                 self.cfg.min_inliers_local_map, self.cfg.proj_radius,
                 self.cfg.desc_th2,
                 ref_kf=jnp.asarray(max(self.n_kf - 1, 0), jnp.int32),
-                local_map_only=self.cfg.local_map_only)
+                local_map_only=self.cfg.local_map_only,
+                ext_matches=ext_matches)
             frame.R_cw, frame.t_cw, frame.landmark_idx = R2, t2, cur_lm
 
         if self.pipeline:
@@ -225,7 +240,12 @@ class MonocularSLAM:
     def _monocular_init(self, frame: T.FrameData) -> bool:
         """(reference MonocularInitialization src/Tracking.cc:2879-2988)"""
         f0 = self.init_frame
-        matches, _ = T._match_prev(f0.desc, f0.valid, frame.desc, frame.valid)
+        if self.matcher is not None:
+            matches = self.matcher(f0.kpts, f0.desc, f0.valid,
+                                   frame.kpts, frame.desc, frame.valid)
+        else:
+            matches, _ = T._match_prev(f0.desc, f0.valid,
+                                       frame.desc, frame.valid)
         n_m = int(jnp.sum(matches >= 0))
         if n_m < self.cfg.min_init_matches:
             # Restart only on match failure; on geometric failure below we keep

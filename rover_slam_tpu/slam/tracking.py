@@ -53,7 +53,10 @@ class TrackerConfig:
     kf_tracked_ratio: float = 0.9     # c2 policy (reference :3848)
     local_window: int = 8             # optimized KFs in local BA
     fixed_window: int = 8             # fixed anchor KFs in local BA
-    ba_iters: int = 5
+    # Per-phase LM iterations of the windowed local BA (x2 phases with an
+    # outlier cut between, like the reference's two-stage local BA). 3 matches
+    # 5 on tracked ATE (sweep in PROGRESS notes) at ~60% of the BA cost.
+    ba_iters: int = 3
     ba_every: int = 2  # run local BA every Nth keyframe (reference aborts LBA
                        # under queue pressure — mbAbortBA — so skipping under
                        # load is faithful)
@@ -326,7 +329,8 @@ def _track_step_kernel(state: ms.MapState,
                        cam_params, cam_kind, image_hw,
                        min_matches_motion, min_inliers_track,
                        min_inliers_local_map, proj_radius, desc_th2,
-                       ref_kf=None, local_map_only: bool = False):
+                       ref_kf=None, local_map_only: bool = False,
+                       ext_matches=None):
     """ONE fused per-frame tracking program: frame-to-frame match -> motion-model
     pose opt -> local-map projection track -> pose opt.
 
@@ -335,12 +339,20 @@ def _track_step_kernel(state: ms.MapState,
     blocking syncs (the reference pays the same structural cost as separate
     ONNX sessions + CPU loops, SURVEY.md §3.2).
 
+    ext_matches: optional [N] prev->cur match indices from an external
+    (learned) matcher — the LightGlue path of the reference's
+    SPmatcher::SearchBySP (src/Matchers/SPmatcher.cc:1050). When None the
+    in-kernel mutual-NN descriptor match is used.
+
     Returns (R, t, cur_lm, ok (bool), n_inl, motion_ok).
     """
     L = state.lm_pos.shape[0]
     N = cur_kpts.shape[0]
-    matches, _ = assoc.mutual_nn_match(prev_desc, prev_valid, cur_desc,
-                                       cur_valid, ratio=0.8)
+    if ext_matches is None:
+        matches, _ = assoc.mutual_nn_match(prev_desc, prev_valid, cur_desc,
+                                           cur_valid, ratio=0.8)
+    else:
+        matches = ext_matches
     # --- motion-model stage ---
     has = (matches >= 0) & (prev_lidx >= 0) & prev_valid
     cur_lm0 = jnp.full((N,), -1, jnp.int32).at[

@@ -143,3 +143,31 @@ def test_load_euroc_sequence(euroc_dir):
     assert len(seq["image_paths"]) == 6
     assert seq["gyro"].shape == (24, 3)
     assert seq["acc"].shape == (24, 3)
+
+
+def test_evaluate_ate_cli(tmp_path):
+    """The offline eval CLI (reference evaluation/evaluate_ate_scale.py
+    protocol): recovers the mono scale and the noise-floor ATE."""
+    import subprocess
+    import sys
+    rng = np.random.default_rng(0)
+    t = np.arange(80) * 0.05
+    p = np.stack([np.sin(t), np.cos(t), 0.1 * t], 1)
+
+    def write(path, t, p, scale=1.0):
+        with open(path, "w") as f:
+            for i in range(len(t)):
+                x = scale * p[i]
+                f.write(f"{t[i]:.6f} {x[0]} {x[1]} {x[2]} 0 0 0 1\n")
+
+    gt, est = str(tmp_path / "gt.txt"), str(tmp_path / "est.txt")
+    write(gt, t, p)
+    write(est, t + 0.001, p + rng.normal(0, 0.005, p.shape), scale=0.5)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "evaluation",
+                                      "evaluate_ate_scale.py"), gt, est],
+        capture_output=True, text=True, check=True)
+    rmse, scale = (float(x) for x in out.stdout.strip().split(","))
+    assert abs(scale - 2.0) < 0.05
+    assert rmse < 0.02

@@ -210,3 +210,50 @@ def test_lost_spawns_new_atlas_map():
     new_kfs = int(jnp.sum(slam.state.kf_active
                           & (slam.state.kf_map_id == 1)))
     assert new_kfs >= 2
+
+
+def test_external_matcher_plugs_into_tracker():
+    """matcher= plugs a learned frame-to-frame matcher into the tracking
+    kernel (the reference's LightGlue SearchBySP path). A mutual-NN stand-in
+    must reproduce default-quality tracking through the external-matches code
+    path, and the LightGlueFrameMatcher adapter must produce well-formed
+    matches end-to-end."""
+    from rover_slam_tpu.ops import association as assoc
+    from rover_slam_tpu.models.lightglue import (LightGlueMatcher,
+                                                 LightGlueFrameMatcher)
+
+    world = synthetic.make_world(n_landmarks=3000, desc_dim=64, seed=5)
+    R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=25, dt=0.1,
+                                                     speed=0.6, yaw_rate=0.04)
+    frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=512,
+                                       pix_noise=0.4, desc_noise=0.05)
+
+    def nn_matcher(k0, d0, v0, k1, d1, v1):
+        m, _ = assoc.mutual_nn_match(d0, v0, d1, v1, ratio=0.8)
+        return m
+
+    slam = MonocularSLAM(world.cam_params, map_capacity=(64, 512, 8192),
+                         desc_dim=64, matcher=nn_matcher)
+    for f in frames:
+        slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time)
+    assert slam.tracking_state == T.OK
+    est_t, est_R, est_tcw = slam.get_trajectory()
+    est_pos = np.stack([-est_R[i].T @ est_tcw[i] for i in range(len(est_t))])
+    gt_pos = np.stack([-R_gt[i].T @ t_gt[i] for i in range(len(times))])
+    pairs = trajectory.associate_by_time(est_t, times)
+    e = np.stack([est_pos[i] for i, _ in pairs])
+    g = np.stack([gt_pos[j] for _, j in pairs])
+    rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
+    assert rmse < 0.05, f"external-matcher ATE RMSE {rmse:.4f} m"
+
+    # Adapter shape/type contract (random weights -> content not meaningful).
+    lg = LightGlueFrameMatcher(
+        LightGlueMatcher(num_kpts=64, num_layers=2), image_hw=(480, 640))
+    f0, f1 = frames[0], frames[1]
+    m = lg(f0.kpts[:64], f0.desc[:64, :256] if f0.desc.shape[1] >= 256 else
+           jnp.tile(f0.desc[:64], (1, 4)),
+           f0.valid[:64], f1.kpts[:64],
+           f1.desc[:64, :256] if f1.desc.shape[1] >= 256 else
+           jnp.tile(f1.desc[:64], (1, 4)), f1.valid[:64])
+    assert m.shape == (64,) and m.dtype == jnp.int32
+    assert bool(jnp.all((m >= -1) & (m < 64)))
