@@ -22,12 +22,16 @@ import jax
 import jax.numpy as jnp
 
 
-def time_it(fn, *args, warmup=2, reps=10):
+def time_it(fn, *args, warmup=2, reps=20):
+    """Queued timing: dispatch all reps, block once. This is the cost the
+    pipelined tracker pays — frontend programs are dispatched asynchronously
+    ahead of the tracking kernel (slam/system.py), so per-call host->device
+    round trips never serialize the loop."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+    outs = [fn(*args) for _ in range(reps)]
+    out = jax.block_until_ready(outs[-1])
     return (time.perf_counter() - t0) / reps, out
 
 

@@ -234,7 +234,7 @@ def _local_ba_body(state: ms.MapState, window_ids, opt_mask, cam_params,
     # compacting the Schur arrays to that bound (instead of the full padded
     # table) cuts the local-BA HBM traffic ~4x.
     res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, solver="schur",
-                      lm_cap=4096)
+                      lm_cap=2048)
     win = jnp.clip(window_ids, 0, state.K - 1)
     write = (opt_mask & (window_ids >= 0))
     new_R = jnp.where(write[:, None, None], res.R_cw, state.kf_R_cw[win])
