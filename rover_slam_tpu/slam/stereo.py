@@ -129,7 +129,7 @@ class StereoSLAM(MonocularSLAM):
             jnp.asarray(desc), jnp.asarray(valid), lm_idx,
             jnp.asarray(time, jnp.float32), parent=-1)
         self.state = state
-        self.n_kf = 1
+        self.n_kf = int(state.n_kf)
         frame = T.FrameData(jnp.asarray(kpts), rays_j, jnp.asarray(desc),
                             jnp.asarray(valid), float(time),
                             R_cw=jnp.eye(3), t_cw=jnp.zeros(3),
@@ -138,6 +138,7 @@ class StereoSLAM(MonocularSLAM):
         self.tracking_state = T.OK
         self.ref_kf_tracked = int(has_depth.sum())
         self._last_n_inl = self.ref_kf_tracked
+        self._register_init_kf_in_db(int(kf_id))
         self._log_pose(frame)
         return True
 

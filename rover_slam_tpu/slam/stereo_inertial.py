@@ -78,6 +78,7 @@ class StereoInertialSLAM(MonocularInertialSLAM):
         self._kf_preints = []
         self._kf_base = self.n_kf - 1
         self._preint_since_kf = None
+        self._register_init_kf_in_db(self.n_kf - 1)
         self._log_pose(frame)
         return True
 

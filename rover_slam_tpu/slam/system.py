@@ -287,16 +287,24 @@ class MonocularSLAM:
         self.velocity = None
         self.frames_since_kf = 0
         self.last_frame = frame
-        if self.loop_closer is not None:
-            # Register the two init keyframes in the place-recognition database
-            # (they are created by _init_map_kernel, not _insert_keyframe).
-            from ..map import keyframe_database as kdb
-            for k in (0, 1):
-                self.loop_closer.db = kdb.db_add(
-                    self.loop_closer.db, k,
-                    self.state.kf_desc[k].astype(jnp.float32),
-                    self.state.kf_kpt_valid[k])
+        # Register the two init keyframes in the place-recognition database
+        # (they are created by _init_map_kernel, not _insert_keyframe).
+        self._register_init_kf_in_db(base)
+        self._register_init_kf_in_db(base + 1)
         return True
+
+    def _register_init_kf_in_db(self, kf_id: int):
+        """Initialization-created keyframes bypass _insert_keyframe, so they
+        must be added to the place-recognition database explicitly (the
+        reference's first keyframes go through KeyFrameDatabase::add like any
+        other, src/KeyFrameDatabase.cc:44)."""
+        if self.loop_closer is None:
+            return
+        from ..map import keyframe_database as kdb
+        self.loop_closer.db = kdb.db_add(
+            self.loop_closer.db, kf_id,
+            self.state.kf_desc[kf_id].astype(jnp.float32),
+            self.state.kf_kpt_valid[kf_id])
 
     # ------------------------------------------------------------------
     def _predict_pose(self):

@@ -172,20 +172,40 @@ def load_settings(path_or_dict, sensor: str = "monocular") -> Settings:
 
 
 def build_system(settings: Settings, **kw):
-    """Instantiate the right SLAM system for the configured sensor."""
+    """Instantiate the right SLAM system for the configured sensor
+    (reference System ctor sensor switch, src/System.cc:50-282). Honors the
+    YAML `loopClosing` flag (src/System.cc:111-116) and, when
+    System.LoadAtlasFromFile is set, resumes from the saved Atlas
+    (src/System.cc:156-206); callers can override both via kwargs."""
     from ..slam.system import MonocularSLAM
     from ..slam.inertial_system import MonocularInertialSLAM
-    from ..slam.stereo import StereoSLAM
+    from ..slam.stereo import StereoSLAM, RGBDSLAM
+    from ..slam.stereo_inertial import StereoInertialSLAM
     from ..slam.tracking import TrackerConfig
 
     cfg = kw.pop("config", TrackerConfig(cam_kind=settings.cam_kind,
                                          image_hw=settings.image_hw))
+    kw.setdefault("enable_loop_closing", settings.loop_closing)
     if settings.sensor == "monocular":
-        return MonocularSLAM(settings.cam_params, config=cfg, **kw)
-    if settings.sensor == "monocular-inertial":
-        return MonocularInertialSLAM(settings.cam_params, settings.imu,
+        slam = MonocularSLAM(settings.cam_params, config=cfg, **kw)
+    elif settings.sensor == "monocular-inertial":
+        slam = MonocularInertialSLAM(settings.cam_params, settings.imu,
                                      config=cfg, **kw)
-    if settings.sensor == "stereo":
-        return StereoSLAM(settings.cam_params, settings.baseline, config=cfg,
+    elif settings.sensor == "stereo":
+        slam = StereoSLAM(settings.cam_params, settings.baseline, config=cfg,
                           **kw)
-    raise SettingsError(f"unsupported sensor {settings.sensor}")
+    elif settings.sensor == "stereo-inertial":
+        slam = StereoInertialSLAM(settings.cam_params, settings.imu,
+                                  settings.baseline, config=cfg, **kw)
+    elif settings.sensor == "rgbd":
+        depth_factor = float(_get(settings.raw, "RGBD.DepthMapFactor",
+                                  default=1.0))
+        slam = RGBDSLAM(settings.cam_params, depth_factor=depth_factor,
+                        config=cfg, **kw)
+    else:
+        raise SettingsError(f"unsupported sensor {settings.sensor}")
+    if settings.load_atlas:
+        from ..map import atlas
+        slam.state = atlas.load_atlas(settings.load_atlas)
+        slam.n_kf = int(slam.state.n_kf)
+    return slam
