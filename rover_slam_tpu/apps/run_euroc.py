@@ -60,6 +60,15 @@ def main(argv=None):
     paths = seq["image_paths"][: args.max_frames]
     t_cam = seq["t_cam"][: len(paths)]
     pf = dataset.ImagePrefetcher(paths, depth=8)
+    stereo = "stereo" in args.sensor
+    pf_r = None
+    if stereo:
+        paths_r = seq.get("right_image_paths", [])[: len(paths)]
+        if len(paths_r) != len(paths):
+            print("stereo sensor needs cam1/ in the sequence",
+                  file=sys.stderr)
+            return 1
+        pf_r = dataset.ImagePrefetcher(paths_r, depth=8)
 
     h, w = settings.image_hw
     ext = SuperPointExtractor(
@@ -76,7 +85,13 @@ def main(argv=None):
             print(f"frame {i}: image {img.shape} != settings {(h, w)}",
                   file=sys.stderr)
             return 1
-        out = ext(jnp.asarray(img[None]))
+        if stereo:
+            # Both eyes ride the batch dim of ONE SuperPoint call (the
+            # reference spawns a second extraction thread, Frame.cc:142-146).
+            img_r = pf_r.get(i).astype(np.float32) / 255.0
+            out = ext(jnp.asarray(np.stack([img, img_r])))
+        else:
+            out = ext(jnp.asarray(img[None]))
         kpts = out["keypoints"][0]
         rays = cameras.unproject(settings.cam_kind,
                                  jnp.asarray(settings.cam_params), kpts)
@@ -85,20 +100,29 @@ def main(argv=None):
                 slam.feed_imu(seq["acc"][imu_idx], seq["gyro"][imu_idx],
                               t_imu[imu_idx])
                 imu_idx += 1
-        info = slam.track_frame(kpts, rays, out["descriptors"][0],
-                                out["valid"][0], float(t_cam[i] - t_cam[0]))
+        t_rel = float(t_cam[i] - t_cam[0])
+        if stereo:
+            info = slam.track_stereo_frame(
+                kpts, rays, out["descriptors"][0], out["valid"][0],
+                out["keypoints"][1], out["descriptors"][1], out["valid"][1],
+                t_rel)
+        else:
+            info = slam.track_frame(kpts, rays, out["descriptors"][0],
+                                    out["valid"][0], t_rel)
         if i % 50 == 0:
             print(f"frame {i}/{len(paths)} state={info.get('state')} "
                   f"inliers={info.get('n_inliers')}", file=sys.stderr)
     wall = time.time() - t0
     pf.close()
+    if pf_r is not None:
+        pf_r.close()
 
     times_, Rs, ts = slam.get_trajectory()
     trajectory.save_tum(args.out, times_ + t_cam[0], Rs, ts)
     print(f"{len(paths)} frames in {wall:.1f}s ({len(paths) / wall:.1f} fps); "
           f"trajectory -> {args.out}", file=sys.stderr)
 
-    if args.gt:
+    if args.gt and len(times_) >= 2:
         gt_t, gt_p, _ = trajectory.load_tum(args.gt)
         est_pos = np.stack([-Rs[i].T @ ts[i] for i in range(len(times_))])
         pairs = trajectory.associate_by_time(times_ + t_cam[0], gt_t)

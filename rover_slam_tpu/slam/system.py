@@ -117,7 +117,8 @@ class MonocularSLAM:
                 self.cfg.desc_th2,
                 ref_kf=jnp.asarray(max(self.n_kf - 1, 0), jnp.int32),
                 local_map_only=self.cfg.local_map_only,
-                ext_matches=ext_matches)
+                ext_matches=ext_matches,
+                max_depth=jnp.asarray(self.cfg.th_far_points, jnp.float32))
             frame.R_cw, frame.t_cw, frame.landmark_idx = R2, t2, cur_lm
 
         if self.pipeline:
@@ -428,6 +429,8 @@ class MonocularSLAM:
 
     def get_trajectory(self):
         self.flush()
+        if not self.trajectory:
+            return (np.zeros((0,)), np.zeros((0, 3, 3)), np.zeros((0, 3)))
         times = np.array([t for t, _, _, _ in self.trajectory])
         Rs = np.stack([np.asarray(R) for _, R, _, _ in self.trajectory])
         ts = np.stack([np.asarray(t) for _, _, t, _ in self.trajectory])

@@ -71,6 +71,9 @@ class TrackerConfig:
     min_kfs_keep_map: int = 10  # on LOST: reset map if younger, else new
                                 # Atlas map (src/Tracking.cc:2302-2308)
     init_depth_scale: bool = True     # rescale init map to median depth 1
+    th_far_points: float = 100.0  # System.thFarPoints: discard landmarks
+                                  # beyond this depth in the projection
+                                  # search (reference SPmatcher.cc:1184)
 
 
 @dataclass
@@ -330,7 +333,7 @@ def _track_step_kernel(state: ms.MapState,
                        min_matches_motion, min_inliers_track,
                        min_inliers_local_map, proj_radius, desc_th2,
                        ref_kf=None, local_map_only: bool = False,
-                       ext_matches=None):
+                       ext_matches=None, max_depth=100.0):
     """ONE fused per-frame tracking program: frame-to-frame match -> motion-model
     pose opt -> local-map projection track -> pose opt.
 
@@ -392,8 +395,11 @@ def _track_step_kernel(state: ms.MapState,
     # place-recognition merge aligns them (reference tracks strictly in the
     # active map, src/Tracking.cc:2049-2086).
     search_mask = search_mask & (state.lm_map_id == state.active_map_id)
+    # max_depth: System.thFarPoints when configured (reference discards
+    # far points in the projection search, SPmatcher.cc:1184).
     uv, depth, visible = assoc.project_landmarks(
-        state.lm_pos, search_mask, R1, t1, cam_params, cam_kind, image_hw)
+        state.lm_pos, search_mask, R1, t1, cam_params, cam_kind, image_hw,
+        max_depth=max_depth)
     kpt_lm, _ = assoc.projection_match(uv, state.lm_desc.astype(jnp.float32),
                                        visible, cur_kpts, cur_desc, cur_valid,
                                        radius=proj_radius, th_desc2=desc_th2)

@@ -183,8 +183,9 @@ def build_system(settings: Settings, **kw):
     from ..slam.stereo_inertial import StereoInertialSLAM
     from ..slam.tracking import TrackerConfig
 
-    cfg = kw.pop("config", TrackerConfig(cam_kind=settings.cam_kind,
-                                         image_hw=settings.image_hw))
+    cfg = kw.pop("config", TrackerConfig(
+        cam_kind=settings.cam_kind, image_hw=settings.image_hw,
+        th_far_points=float(settings.th_far_points or 100.0)))
     kw.setdefault("enable_loop_closing", settings.loop_closing)
     if settings.sensor == "monocular":
         slam = MonocularSLAM(settings.cam_params, config=cfg, **kw)

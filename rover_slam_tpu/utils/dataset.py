@@ -159,13 +159,21 @@ class ImagePrefetcher:
 
 def load_euroc_sequence(root: str):
     """EuRoC mav0 layout: cam0/data.csv + cam0/data/<ts>.png|pgm,
-    imu0/data.csv. Returns dict with timestamps, image paths, imu arrays."""
+    optional cam1 (stereo right eye), imu0/data.csv. Returns dict with
+    timestamps, image paths (+ right_image_paths when cam1 exists), imu
+    arrays."""
     cam_csv = os.path.join(root, "cam0", "data.csv")
     imu_csv = os.path.join(root, "imu0", "data.csv")
     t_cam, names = read_csv(cam_csv, numeric=False)
     img_dir = os.path.join(root, "cam0", "data")
     paths = [os.path.join(img_dir, n) for n in names]
     out = {"t_cam": t_cam, "image_paths": paths}
+    cam1_csv = os.path.join(root, "cam1", "data.csv")
+    if os.path.exists(cam1_csv):
+        _, names_r = read_csv(cam1_csv, numeric=False)
+        img_dir_r = os.path.join(root, "cam1", "data")
+        out["right_image_paths"] = [os.path.join(img_dir_r, n)
+                                    for n in names_r]
     if os.path.exists(imu_csv):
         t_imu, vals = read_csv(imu_csv, numeric=True)
         out["t_imu"] = t_imu
