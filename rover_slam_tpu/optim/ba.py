@@ -137,12 +137,13 @@ def _edge_terms(cam_kind, prob: BAProblem, R, t, X):
 
 @functools.partial(jax.jit,
                    static_argnames=("cam_kind", "iters", "cg_iters", "phases",
-                                    "solver", "lm_cap"))
+                                    "solver", "lm_cap", "red_cg_iters"))
 def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
              iters: int = 10, cg_iters: int = 20,
              chi2_th: float = robust.CHI2_MONO,
              lam0: float = 1e-4, phases: int = 2,
-             solver: str = "schur", lm_cap: int | None = None) -> BAResult:
+             solver: str = "schur", lm_cap: int | None = None,
+             red_cg_iters: int = 32) -> BAResult:
     """`phases` > 1 reproduces the reference's two-phase local BA: optimize,
     hard-drop chi2 outlier edges, re-optimize (src/Optimizer.cc:2055-2130).
 
@@ -293,7 +294,8 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
                 return (x, r, z + beta * p_, rz_n), None
 
             (dx_c, *_), _ = jax.lax.scan(
-                red_cg, (jnp.zeros_like(b_r), b_r, z0, rz0), None, length=32)
+                red_cg, (jnp.zeros_like(b_r), b_r, z0, rz0), None,
+                length=red_cg_iters)
             dx_c = dx_c * pmask
             dx_l = jnp.einsum("lbc,lc->lb",
                               Hll_inv,

@@ -32,7 +32,21 @@ def main(argv=None):
                     help="orbit trajectory + loop closing enabled")
     ap.add_argument("--pipeline", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace into DIR")
     args = ap.parse_args(argv)
+    if args.trace:
+        from ..utils.profiling import device_trace
+        import contextlib
+        ctx = device_trace(args.trace)
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _run(args)
+
+
+def _run(args):
 
     from ..utils import synthetic, trajectory
     from . import tracking as T

@@ -320,3 +320,17 @@ def test_distinctive_descriptor_recompute():
     d_out = np.linalg.norm(new - outlier)
     assert d_a < 1e-5, "descriptor is not one of the consistent observations"
     assert d_out > 0.1
+
+
+def test_device_trace_writes_profile(tmp_path):
+    """utils.profiling.device_trace captures an xprof trace (SURVEY §5: the
+    jax.profiler side of the REGISTER_TIMES observability parity)."""
+    import glob
+    import jax.numpy as jnp
+    from rover_slam_tpu.utils.profiling import device_trace, annotate
+
+    logdir = str(tmp_path / "trace")
+    with device_trace(logdir):
+        with annotate("unit-test-span"):
+            jnp.ones((8, 8)).sum().block_until_ready()
+    assert glob.glob(logdir + "/plugins/profile/*/*.xplane.pb")
