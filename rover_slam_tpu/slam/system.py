@@ -380,13 +380,19 @@ class MonocularSLAM:
         """KF insertion + the LocalMapping work the reference queues to its
         mapping thread (ProcessNewKeyFrame, CreateNewMapPoints, local BA)."""
         # ONE fused program: add KF + covis + triangulate top-2 + local BA.
+        # ba_every thins the BA to every Nth keyframe (the reference's LBA is
+        # abortable under queue pressure — mbAbortBA — so skipping under
+        # sustained load is within its behavior envelope).
+        run_ba = (self.cfg.ba_every <= 1
+                  or self.n_kf % self.cfg.ba_every == 0)
         self.state, scalars = T._insert_keyframe_kernel(
             self.state, frame.R_cw, frame.t_cw, frame.kpts, frame.rays,
             frame.desc, frame.valid, frame.landmark_idx,
             jnp.asarray(frame.time, jnp.float32),
             jnp.asarray(self.n_kf - 1, jnp.int32),
             self.cam_params, self.cfg.cam_kind,
-            self.cfg.local_window, self.cfg.fixed_window, self.cfg.ba_iters)
+            self.cfg.local_window, self.cfg.fixed_window, self.cfg.ba_iters,
+            run_ba=run_ba)
         self.n_kf += 1
         self.frames_since_kf = 0
         kf_id_i = self.n_kf - 1

@@ -57,9 +57,10 @@ class TrackerConfig:
     # outlier cut between, like the reference's two-stage local BA). 3 matches
     # 5 on tracked ATE (sweep in PROGRESS notes) at ~60% of the BA cost.
     ba_iters: int = 3
-    ba_every: int = 2  # run local BA every Nth keyframe (reference aborts LBA
+    ba_every: int = 1  # run local BA every Nth keyframe (reference aborts LBA
                        # under queue pressure — mbAbortBA — so skipping under
-                       # load is faithful)
+                       # load is faithful; sweep: skipping costs more than it
+                       # saves — weaker tracking inserts extra keyframes)
     kf_cull_every: int = 0  # cull redundant keyframes every N insertions
                             # (reference KeyFrameCulling runs per-KF,
                             # src/LocalMapping.cc:1310; 0 = off — synthetic
