@@ -119,6 +119,12 @@ def main(argv=None):
 
     times_, Rs, ts = slam.get_trajectory()
     trajectory.save_tum(args.out, times_ + t_cam[0], Rs, ts)
+    if settings.save_atlas:
+        # Multi-session persistence (reference System::SaveAtlas on Shutdown,
+        # src/System.cc:1476; reloaded via System.LoadAtlasFromFile).
+        from ..map import atlas
+        atlas.save_atlas(slam.state, settings.save_atlas)
+        print(f"atlas -> {settings.save_atlas}", file=sys.stderr)
     print(f"{len(paths)} frames in {wall:.1f}s ({len(paths) / wall:.1f} fps); "
           f"trajectory -> {args.out}", file=sys.stderr)
 

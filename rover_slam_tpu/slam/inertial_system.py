@@ -118,6 +118,13 @@ class MonocularInertialSLAM(MonocularSLAM):
         info by 1/uncertainty2, src/Optimizer.cc:529-535); 4.0 = sigma 0.5px.
         vi_ba_walk_scale: scaling of the bias random-walk information."""
         super().__init__(cam_params, **kw)
+        from .tracking import TrackerConfig as _TC
+        if self.cfg.time_recently_lost_s == _TC.time_recently_lost_s:
+            # IMU prediction keeps tracking usable longer: the reference's
+            # RECENTLY_LOST grace window is 5s with IMU vs 2s visual
+            # (src/Tracking.cc:2273,2287). Only applied when the caller left
+            # the visual default untouched.
+            self.cfg.time_recently_lost_s = 5.0
         self.vi_ba_every = vi_ba_every
         self.vi_ba_iters = vi_ba_iters
         self.vi_ba_reproj_info = vi_ba_reproj_info

@@ -64,3 +64,30 @@ def test_stereo_app_runs(euroc_root, tmp_path):
                          "--out", out, "--max-frames", "4"])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_atlas_save_load_via_settings(euroc_root, tmp_path):
+    """System.SaveAtlasToFile persists the Atlas at the end of a run;
+    System.LoadAtlasFromFile resumes from it (reference System::SaveAtlas /
+    LoadAtlas multi-session mechanism, src/System.cc:1476-1594)."""
+    import yaml as _yaml
+    from rover_slam_tpu.utils.config import load_settings, build_system
+
+    root, settings = euroc_root
+    with open(settings) as f:
+        d = _yaml.safe_load(f)
+    atlas_path = str(tmp_path / "atlas.npz")
+    d["System.SaveAtlasToFile"] = atlas_path
+    s2 = str(tmp_path / "settings_save.yaml")
+    with open(s2, "w") as f:
+        _yaml.safe_dump(d, f)
+    rc = run_euroc.main([s2, root, "--sensor", "monocular",
+                         "--out", str(tmp_path / "t.txt"),
+                         "--max-frames", "3"])
+    assert rc == 0
+    assert os.path.exists(atlas_path)
+
+    d.pop("System.SaveAtlasToFile")
+    d["System.LoadAtlasFromFile"] = atlas_path
+    slam = build_system(load_settings(d, sensor="monocular"))
+    assert slam.n_kf == int(slam.state.n_kf)
