@@ -104,6 +104,14 @@ class StereoSLAM(MonocularSLAM):
             jnp.asarray(kpts_l), jnp.asarray(desc_l), jnp.asarray(valid_l),
             jnp.asarray(kpts_r), jnp.asarray(desc_r), jnp.asarray(valid_r),
             jnp.asarray(self.baseline_fx, jnp.float32))
+        return self._after_stereo_depth(kpts_l, rays_l, desc_l, valid_l,
+                                        depth, time)
+
+    def _after_stereo_depth(self, kpts_l, rays_l, desc_l, valid_l, depth,
+                            time) -> dict:
+        """Common post-depth stereo step: init on the first usable frame,
+        else monocular-style tracking with the depth stashed for keyframe
+        landmark spawning."""
         self._stereo_depth = depth
         if self.tracking_state in (T.NO_IMAGES_YET, T.NOT_INITIALIZED):
             ok = self._stereo_init(kpts_l, rays_l, desc_l, valid_l, depth, time)
@@ -200,3 +208,48 @@ def _spawn_stereo_landmarks_kernel(state: ms.MapState, kf_id, depth, max_depth):
     li = jnp.where(slots >= 0, slots, state.kf_landmark_idx[kf_id])
     return state.replace(
         kf_landmark_idx=state.kf_landmark_idx.at[kf_id].set(li))
+
+
+class FisheyeStereoMixin:
+    """Fisheye (non-rectified) stereo front end: BF mutual-NN + ratio +
+    epipolar gate + two-view triangulation against the known left->right
+    extrinsic (reference Frame::ComputeStereoFishEyeMatches
+    src/Frame.cc:1619-1700 + GeometricCamera::TriangulateMatches). Works for
+    any camera model whose keypoints come with unit rays (KannalaBrandt8 for
+    TUM-VI)."""
+
+    def _init_fisheye(self, T_rl):
+        """T_rl: 4x4 (or (R, t)) pose of the LEFT cam in the RIGHT cam frame
+        (x_r = R_rl x_l + t_rl) — the inverse of the YAML Stereo.T_c1_c2."""
+        if isinstance(T_rl, tuple):
+            R_rl, t_rl = T_rl
+        else:
+            m = np.asarray(T_rl, np.float32).reshape(4, 4)
+            R_rl, t_rl = m[:3, :3], m[:3, 3]
+        self.R_rl = jnp.asarray(R_rl, jnp.float32)
+        self.t_rl = jnp.asarray(t_rl, jnp.float32)
+
+    def track_stereo_frame(self, kpts_l, rays_l, desc_l, valid_l,
+                           rays_r, desc_r, valid_r, time) -> dict:
+        """NOTE: takes the RIGHT eye's unit RAYS (not pixels) — fisheye
+        matching runs in bearing space."""
+        _, Xl, ok = fisheye_stereo_match_kernel(
+            jnp.asarray(rays_l), jnp.asarray(desc_l), jnp.asarray(valid_l),
+            jnp.asarray(rays_r), jnp.asarray(desc_r), jnp.asarray(valid_r),
+            self.R_rl, self.t_rl)
+        depth = jnp.where(ok, Xl[:, 2], -1.0)
+        return self._after_stereo_depth(kpts_l, rays_l, desc_l, valid_l,
+                                        depth, time)
+
+
+class FisheyeStereoSLAM(FisheyeStereoMixin, StereoSLAM):
+    """Stereo SLAM for fisheye/unrectified rigs (reference: KB8 stereo with
+    Stereo.T_c1_c2 + lapping areas instead of rectification maps)."""
+
+    def __init__(self, cam_params, T_rl, **kw):
+        if isinstance(T_rl, tuple):
+            t = np.asarray(T_rl[1], np.float64)
+        else:
+            t = np.asarray(T_rl, np.float64).reshape(4, 4)[:3, 3]
+        super().__init__(cam_params, baseline=float(np.linalg.norm(t)), **kw)
+        self._init_fisheye(T_rl)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from ..imu import preintegration as preint
 from . import tracking as T
 from .inertial_system import MonocularInertialSLAM
-from .stereo import stereo_match_kernel, _spawn_stereo_landmarks_kernel
+from .stereo import (stereo_match_kernel, _spawn_stereo_landmarks_kernel,
+                     FisheyeStereoMixin)
 from ..map import map_state as ms
 from ..optim import inertial_init as ii
 
@@ -36,6 +37,11 @@ class StereoInertialSLAM(MonocularInertialSLAM):
             jnp.asarray(kpts_l), jnp.asarray(desc_l), jnp.asarray(valid_l),
             jnp.asarray(kpts_r), jnp.asarray(desc_r), jnp.asarray(valid_r),
             jnp.asarray(self.baseline_fx, jnp.float32))
+        return self._after_stereo_depth(kpts_l, rays_l, desc_l, valid_l,
+                                        depth, time)
+
+    def _after_stereo_depth(self, kpts_l, rays_l, desc_l, valid_l, depth,
+                            time) -> dict:
         self._stereo_depth = depth
         if self.tracking_state in (T.NO_IMAGES_YET, T.NOT_INITIALIZED):
             ok = self._stereo_init(kpts_l, rays_l, desc_l, valid_l, depth,
@@ -132,3 +138,17 @@ class StereoInertialSLAM(MonocularInertialSLAM):
         res = ii.inertial_only_optimization(prob, prior_g=1e2, prior_a=1e6,
                                             fix_scale=True)
         self.bg, self.ba = res.bg, res.ba
+
+
+class FisheyeStereoInertialSLAM(FisheyeStereoMixin, StereoInertialSLAM):
+    """Fisheye stereo + IMU (the reference's TUM-VI 512 stereo-inertial
+    configuration: KannalaBrandt8 cameras, Stereo.T_c1_c2 extrinsic)."""
+
+    def __init__(self, cam_params, imu_calib, T_rl, **kw):
+        if isinstance(T_rl, tuple):
+            t = np.asarray(T_rl[1], np.float64)
+        else:
+            t = np.asarray(T_rl, np.float64).reshape(4, 4)[:3, 3]
+        super().__init__(cam_params, imu_calib,
+                         baseline=float(np.linalg.norm(t)), **kw)
+        self._init_fisheye(T_rl)

@@ -171,6 +171,20 @@ def load_settings(path_or_dict, sensor: str = "monocular") -> Settings:
         raw=d)
 
 
+def _stereo_trl(settings: Settings):
+    """Left-in-right extrinsic (R_rl, t_rl) from Stereo.T_c1_c2 (the YAML
+    gives T_c1_c2 = right cam in left frame; invert)."""
+    tlr = _get(settings.raw, "Stereo.T_c1_c2")
+    if tlr is None:
+        raise SettingsError("fisheye stereo needs Stereo.T_c1_c2")
+    m = np.asarray(tlr.get("data", tlr) if isinstance(tlr, dict) else tlr,
+                   np.float64).reshape(4, 4)
+    R_lr, t_lr = m[:3, :3], m[:3, 3]
+    R_rl = R_lr.T
+    t_rl = -R_rl @ t_lr
+    return (R_rl.astype(np.float32), t_rl.astype(np.float32))
+
+
 def build_system(settings: Settings, **kw):
     """Instantiate the right SLAM system for the configured sensor
     (reference System ctor sensor switch, src/System.cc:50-282). Honors the
@@ -193,11 +207,24 @@ def build_system(settings: Settings, **kw):
         slam = MonocularInertialSLAM(settings.cam_params, settings.imu,
                                      config=cfg, **kw)
     elif settings.sensor == "stereo":
-        slam = StereoSLAM(settings.cam_params, settings.baseline, config=cfg,
-                          **kw)
+        if settings.cam_kind == cameras.KANNALA_BRANDT8:
+            # Fisheye rigs are not rectified: use the general-extrinsic
+            # stereo (reference ComputeStereoFishEyeMatches path).
+            from ..slam.stereo import FisheyeStereoSLAM
+            slam = FisheyeStereoSLAM(settings.cam_params, _stereo_trl(settings),
+                                     config=cfg, **kw)
+        else:
+            slam = StereoSLAM(settings.cam_params, settings.baseline,
+                              config=cfg, **kw)
     elif settings.sensor == "stereo-inertial":
-        slam = StereoInertialSLAM(settings.cam_params, settings.imu,
-                                  settings.baseline, config=cfg, **kw)
+        if settings.cam_kind == cameras.KANNALA_BRANDT8:
+            from ..slam.stereo_inertial import FisheyeStereoInertialSLAM
+            slam = FisheyeStereoInertialSLAM(
+                settings.cam_params, settings.imu, _stereo_trl(settings),
+                config=cfg, **kw)
+        else:
+            slam = StereoInertialSLAM(settings.cam_params, settings.imu,
+                                      settings.baseline, config=cfg, **kw)
     elif settings.sensor == "rgbd":
         depth_factor = float(_get(settings.raw, "RGBD.DepthMapFactor",
                                   default=1.0))
