@@ -37,3 +37,45 @@ def test_sharded_edge_padding():
                                                  cg_iters=15)
     assert np.isfinite(np.asarray(costs)).all()
     assert float(costs[-1]) < float(costs[0])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_landmark_sharded_matches_single_device():
+    """Landmark-sharded BA (variables sharded too, landmark math shard-local,
+    only the 6K-pose vector rides the psum — SURVEY §7 step 8) must land in
+    the same basin as the replicated-variable solver."""
+    prob, (R_true, t_true, X_true), _ = make_ba_problem(Kw=6, Lw=120,
+                                                        noise_px=0.5)
+    mesh = sharded_ba.make_mesh(8)
+    R, t, X, costs = sharded_ba.solve_ba_sharded_lm(prob, mesh, iters=10,
+                                                    cg_iters=25)
+    ref = ba.solve_ba(prob, iters=10, cg_iters=25, solver="pcg", phases=1)
+    assert float(costs[-1]) < float(ref.cost_history[0])
+    ang, dte = pose_errors(R, t, R_true, t_true)
+    assert ang.max() < 0.2
+    assert dte.max() < 0.05
+    # Landmark output covers the original table (padded tail ignored).
+    L = prob.lm_pos.shape[0]
+    err_lm = np.linalg.norm(np.asarray(X)[:L] - X_true, axis=1)
+    ref_lm = np.linalg.norm(np.asarray(ref.lm_pos) - X_true, axis=1)
+    assert np.median(err_lm) < max(2.0 * np.median(ref_lm), 0.02)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_landmark_partitioning_preserves_edges():
+    prob, _, _ = make_ba_problem(Kw=4, Lw=50, noise_px=0.3)
+    p2, Ls = sharded_ba.partition_by_landmark(prob, 8)
+    assert int(p2.e_valid.sum()) == int(prob.e_valid.sum())
+    # Every valid edge's (global lm, kf, uv) tuple survives the regrouping.
+    shard = np.repeat(np.arange(8), len(p2.e_kf) // 8)
+    glm = np.asarray(p2.e_lm) + shard * Ls
+    old = {(int(l), int(k), round(float(u), 3))
+           for l, k, (u, v) in zip(np.asarray(prob.e_lm),
+                                   np.asarray(prob.e_kf),
+                                   np.asarray(prob.e_uv))
+           if True}
+    new = {(int(l), int(k), round(float(u), 3))
+           for l, k, (u, v), ok in zip(glm, np.asarray(p2.e_kf),
+                                       np.asarray(p2.e_uv),
+                                       np.asarray(p2.e_valid)) if ok}
+    assert new <= old
