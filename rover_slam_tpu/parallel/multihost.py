@@ -63,10 +63,26 @@ def put_problem(prob: ba_mod.BAProblem, mesh: Mesh,
 
 
 def solve_ba_multihost(prob: ba_mod.BAProblem, mesh: Mesh | None = None,
-                       **kw):
+                       lm_sharded: bool = False, **kw):
     """Edge-sharded LM-PCG BA over the global (multi-process) mesh.
     Same numerics as solve_ba_sharded; returns replicated outputs every
-    process can read."""
+    process can read.
+
+    lm_sharded=True uses solve_ba_sharded_lm: landmark variables sharded
+    across the global mesh (landmark math entirely node-local, only the pose
+    vector crosses DCN) — the map-scale configuration. The returned lm_pos is
+    then itself a sharded global array."""
     mesh = mesh if mesh is not None else global_mesh()
+    if lm_sharded:
+        axis = mesh.axis_names[0]
+        prob, Ls = sharded_ba.partition_by_landmark(prob, mesh.devices.size)
+        specs = ba_mod.BAProblem(
+            R_cw=P(), t_cw=P(), pose_opt_mask=P(),
+            lm_pos=P(axis), lm_opt_mask=P(axis), cam_params=P(),
+            e_kf=P(axis), e_lm=P(axis), e_uv=P(axis), e_valid=P(axis),
+            e_info=P(axis))
+        gprob = ba_mod.BAProblem(*[put_global(a, mesh, s)
+                                   for a, s in zip(prob, specs)])
+        return sharded_ba._solve_partitioned_lm(gprob, mesh, Ls, **kw)
     gprob = put_problem(prob, mesh)
     return sharded_ba.solve_ba_sharded(gprob, mesh, **kw)

@@ -258,9 +258,20 @@ def solve_ba_sharded_lm(prob: ba_mod.BAProblem, mesh: Mesh,
 
     Returns (R_cw, t_cw, lm_pos [padded to shards*Ls], cost_history).
     """
+    prob, Ls = partition_by_landmark(prob, mesh.devices.size)
+    return _solve_partitioned_lm(prob, mesh, Ls, cam_kind=cam_kind,
+                                 iters=iters, cg_iters=cg_iters,
+                                 chi2_th=chi2_th, lam0=lam0)
+
+
+def _solve_partitioned_lm(prob: ba_mod.BAProblem, mesh: Mesh, Ls: int,
+                          cam_kind: int = cameras.PINHOLE,
+                          iters: int = 10, cg_iters: int = 20,
+                          chi2_th: float = robust.CHI2_MONO,
+                          lam0: float = 1e-4):
+    """Solve an ALREADY-partitioned problem (see partition_by_landmark);
+    multihost callers partition host-side before building global arrays."""
     axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    prob, Ls = partition_by_landmark(prob, n_dev)
     Kw = prob.R_cw.shape[0]
     pmask = prob.pose_opt_mask.astype(jnp.float32)[:, None]
     delta2 = chi2_th

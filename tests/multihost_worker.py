@@ -30,8 +30,13 @@ mesh = multihost.global_mesh()
 assert len(jax.devices()) == 4 * nproc, len(jax.devices())
 R, t, X, costs = multihost.solve_ba_multihost(prob, mesh, iters=10,
                                               cg_iters=25)
+# Landmark-sharded (map-scale) mode: landmark math node-local, only the
+# pose vector crosses the process boundary.
+R2, t2, X2, costs2 = multihost.solve_ba_multihost(prob, mesh, lm_sharded=True,
+                                                  iters=10, cg_iters=25)
 if pid == 0:
     np.savez(out, R=np.asarray(R), t=np.asarray(t), X=np.asarray(X),
-             costs=np.asarray(costs), n_global_devices=len(jax.devices()))
+             costs=np.asarray(costs), n_global_devices=len(jax.devices()),
+             R_lm=np.asarray(R2), costs_lm=np.asarray(costs2))
 print(f"[worker {pid}] done, cost {float(np.asarray(costs)[-1]):.4f}",
       flush=True)

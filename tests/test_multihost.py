@@ -49,3 +49,7 @@ def test_two_process_ba_matches_single_process(tmp_path):
     ang, dte = pose_errors(res["R"], res["t"], R_true, t_true)
     assert ang.max() < 0.2
     assert dte.max() < 0.05
+    # Landmark-sharded mode solved across processes too.
+    assert float(res["costs_lm"][-1]) < float(ref.cost_history[0])
+    ang2, dte2 = pose_errors(res["R_lm"], res["t"], R_true, t_true)
+    assert ang2.max() < 0.2
