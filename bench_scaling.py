@@ -93,6 +93,20 @@ def single_process_sweep():
             "backend": jax.default_backend(),
             "speedup_vs_1dev": round(results[0]["ms"] / dt_ms, 2),
         }))
+        # Landmark-sharded variant (variables sharded; psum volume O(K) not
+        # O(K+L)) — the map-scale configuration.
+        run_lm = lambda: sharded_ba.solve_ba_sharded_lm(prob, mesh, iters=6,
+                                                        cg_iters=15)
+        jax.block_until_ready(run_lm())
+        t0_ = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(run_lm())
+        dt_lm = (time.perf_counter() - t0_) / reps * 1000
+        print(json.dumps({
+            "metric": "lm_sharded_ba_ms", "value": round(dt_lm, 1),
+            "unit": "ms", "devices": n, "edges": n_edges,
+            "backend": jax.default_backend(),
+        }))
     return results
 
 
