@@ -182,6 +182,170 @@ def load_euroc_sequence(root: str):
     return out
 
 
+def load_kitti_sequence(root: str):
+    """KITTI odometry layout: times.txt (seconds, one per line) +
+    image_0/ left grayscale PNGs (optionally image_1/ right). The reference
+    drives this layout through its mono_kitti example binary
+    (reference: CMakeLists.txt:163-165, README.md KITTI section)."""
+    times_path = os.path.join(root, "times.txt")
+    t_cam = np.loadtxt(times_path, dtype=np.float64).reshape(-1)
+    img_dir = None
+    for cand in ("image_0", "image_2"):   # gray pair first, color pair second
+        d = os.path.join(root, cand)
+        if os.path.isdir(d):
+            img_dir = d
+            break
+    if img_dir is None:
+        raise IOError(f"no image_0/ or image_2/ under {root}")
+    names = sorted(n for n in os.listdir(img_dir) if n.endswith(".png"))
+    out = {"t_cam": t_cam[: len(names)],
+           "image_paths": [os.path.join(img_dir, n) for n in names]}
+    right_dir = os.path.join(root, {"image_0": "image_1",
+                                    "image_2": "image_3"}[
+                                        os.path.basename(img_dir)])
+    if os.path.isdir(right_dir):
+        names_r = sorted(n for n in os.listdir(right_dir)
+                         if n.endswith(".png"))
+        if len(names_r) == len(names):
+            out["right_image_paths"] = [os.path.join(right_dir, n)
+                                        for n in names_r]
+    return out
+
+
+def load_tum_rgbd_sequence(root: str, max_dt: float = 0.02):
+    """TUM RGB-D layout: rgb.txt / depth.txt index files ('t path' lines,
+    '#' comments) + groundtruth.txt. Depth frames are associated to RGB
+    frames by nearest timestamp (reference: evaluation/associate.py policy;
+    the mono_tum example binary reads the same rgb.txt,
+    CMakeLists.txt:153-155)."""
+    def read_index(path):
+        ts, names = [], []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                ts.append(float(parts[0]))
+                names.append(parts[1])
+        return np.asarray(ts, np.float64), names
+
+    t_rgb, rgb_names = read_index(os.path.join(root, "rgb.txt"))
+    out = {"t_cam": t_rgb,
+           "image_paths": [os.path.join(root, n) for n in rgb_names]}
+    depth_index = os.path.join(root, "depth.txt")
+    if os.path.exists(depth_index):
+        t_d, d_names = read_index(depth_index)
+        # nearest-timestamp depth per RGB frame; -1 = no depth close enough
+        j = np.searchsorted(t_d, t_rgb)
+        j = np.clip(j, 0, len(t_d) - 1)
+        jm = np.clip(j - 1, 0, len(t_d) - 1)
+        pick = np.where(np.abs(t_d[jm] - t_rgb) <= np.abs(t_d[j] - t_rgb),
+                        jm, j)
+        ok = np.abs(t_d[pick] - t_rgb) <= max_dt
+        out["depth_paths"] = [os.path.join(root, d_names[p]) if k else None
+                              for p, k in zip(pick, ok)]
+    gt = os.path.join(root, "groundtruth.txt")
+    if os.path.exists(gt):
+        out["gt_path"] = gt
+    return out
+
+
+def detect_sequence_format(root: str) -> str:
+    """Sniff the dataset layout: 'euroc' (mav0/cam0 csv), 'kitti'
+    (times.txt + image_0|2), or 'tum-rgbd' (rgb.txt)."""
+    if os.path.exists(os.path.join(root, "cam0", "data.csv")):
+        return "euroc"
+    if os.path.exists(os.path.join(root, "mav0", "cam0", "data.csv")):
+        return "euroc"
+    if os.path.exists(os.path.join(root, "rgb.txt")):
+        return "tum-rgbd"
+    if os.path.exists(os.path.join(root, "times.txt")) and (
+            os.path.isdir(os.path.join(root, "image_0"))
+            or os.path.isdir(os.path.join(root, "image_2"))):
+        return "kitti"
+    raise IOError(f"cannot detect dataset format under {root}")
+
+
+def load_sequence(root: str, fmt: str = "auto"):
+    """Format-dispatched sequence loader. Returns the same dict shape for
+    every format (t_cam, image_paths, + format extras)."""
+    if fmt == "auto":
+        fmt = detect_sequence_format(root)
+    if fmt == "euroc":
+        if os.path.exists(os.path.join(root, "mav0", "cam0", "data.csv")):
+            root = os.path.join(root, "mav0")
+        return load_euroc_sequence(root), "euroc"
+    if fmt == "kitti":
+        return load_kitti_sequence(root), "kitti"
+    if fmt == "tum-rgbd":
+        return load_tum_rgbd_sequence(root), "tum-rgbd"
+    raise ValueError(f"unknown dataset format {fmt!r}")
+
+
+def read_depth16(path: str) -> np.ndarray:
+    """Decode a 16-bit grayscale PNG depth map (TUM RGB-D ships these;
+    values are millimeters*5, divided out by RGBD.DepthMapFactor=5000).
+    Returns uint16 [H,W]. Pure-Python (depth frames are off the hot path)."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, idat, ihdr = 8, [], None
+    while pos < len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    w, h, depth, color, _, _, interlace = ihdr
+    if depth != 16 or color != 0 or interlace != 0:
+        raise IOError(f"not a gray16 PNG (depth={depth}, color={color})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 2          # bytes per row; filters act on raw bytes
+    bpp = 2                 # bytes per pixel (the filter left-offset)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
+            np.uint8).astype(np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 2:   # Up
+            row = (row + prev) & 0xFF
+        else:              # Sub/Average/Paeth: left-to-right byte scan
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # 4 Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+            row = cur
+        out[y] = row.astype(np.uint8)
+        prev = row
+    # PNG 16-bit samples are big-endian
+    return out.reshape(h, w, 2).astype(np.uint16)[:, :, 0] * 256 + \
+        out.reshape(h, w, 2).astype(np.uint16)[:, :, 1]
+
+
 # ---------------------------------------------------------------------------
 # Pure-python fallbacks
 # ---------------------------------------------------------------------------

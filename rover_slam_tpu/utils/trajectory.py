@@ -32,6 +32,16 @@ def rot_to_quat(R: np.ndarray) -> np.ndarray:
     return np.array([qx, qy, qz, qw])
 
 
+def quat_to_rot(q: np.ndarray) -> np.ndarray:
+    """(qx, qy, qz, qw) -> [3,3]."""
+    x, y, z, w = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def save_tum(path: str, times, R_cw, t_cw):
     """Write TUM-format camera trajectory (world-frame poses Twc)."""
     with open(path, "w") as f:
@@ -76,6 +86,50 @@ def ate_rmse(est_pos: np.ndarray, gt_pos: np.ndarray, with_scale: bool = True):
     aligned = (s * (R @ est_pos.T)).T + t
     err = np.linalg.norm(aligned - gt_pos, axis=1)
     return float(np.sqrt((err ** 2).mean())), aligned
+
+
+def save_kitti(path: str, R_cw, t_cw):
+    """Write KITTI-format trajectory: 12 numbers per line, the row-major
+    3x4 world pose [R_wc | p_wc] of each frame, no timestamps (reference:
+    System::SaveTrajectoryKITTI semantics — the mono_kitti example's output
+    format)."""
+    with open(path, "w") as f:
+        for i in range(len(R_cw)):
+            R_wc = np.asarray(R_cw[i]).T
+            p = -R_wc @ np.asarray(t_cw[i])
+            M = np.concatenate([R_wc, p[:, None]], axis=1).reshape(-1)
+            f.write(" ".join(f"{v:.9e}" for v in M) + "\n")
+
+
+def load_kitti(path: str):
+    """Read KITTI-format trajectory -> (R_wc [N,3,3], p_wc [N,3])."""
+    data = np.loadtxt(path).reshape(-1, 3, 4)
+    return data[:, :, :3], data[:, :, 3]
+
+
+def rpe_rmse(est_R_wc, est_p_wc, gt_R_wc, gt_p_wc, delta: int = 1):
+    """Relative Pose Error over a fixed frame delta (TUM RGB-D benchmark
+    protocol, the drift companion to ATE). For each i the error motion is
+    E = (Qi^-1 Q(i+d))^-1 (Pi^-1 P(i+d)); returns (trans_rmse [m],
+    rot_rmse [rad]). No global alignment — RPE is alignment-invariant."""
+    n = len(est_p_wc) - delta
+    if n <= 0:
+        return 0.0, 0.0
+    terr = np.zeros(n)
+    rerr = np.zeros(n)
+    for i in range(n):
+        dR_e = np.asarray(est_R_wc[i]).T @ np.asarray(est_R_wc[i + delta])
+        dp_e = np.asarray(est_R_wc[i]).T @ (
+            np.asarray(est_p_wc[i + delta]) - np.asarray(est_p_wc[i]))
+        dR_g = np.asarray(gt_R_wc[i]).T @ np.asarray(gt_R_wc[i + delta])
+        dp_g = np.asarray(gt_R_wc[i]).T @ (
+            np.asarray(gt_p_wc[i + delta]) - np.asarray(gt_p_wc[i]))
+        E_R = dR_g.T @ dR_e
+        terr[i] = np.linalg.norm(dR_g.T @ (dp_e - dp_g))
+        c = np.clip((np.trace(E_R) - 1.0) / 2.0, -1.0, 1.0)
+        rerr[i] = np.arccos(c)
+    return float(np.sqrt((terr ** 2).mean())), \
+        float(np.sqrt((rerr ** 2).mean()))
 
 
 def associate_by_time(t_est, t_gt, max_dt=0.02):
