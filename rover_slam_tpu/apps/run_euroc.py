@@ -42,6 +42,8 @@ def main(argv=None):
                          "(reference SPmatcher::SearchBySP path)")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--gt", default=None, help="TUM-format ground truth")
+    ap.add_argument("--stats-out", default=None,
+                    help="write run stats (n_kf, fps, ate_cm) as JSON")
     args = ap.parse_args(argv)
 
     settings = load_settings(args.settings, sensor=args.sensor)
@@ -97,8 +99,10 @@ def main(argv=None):
                                  jnp.asarray(settings.cam_params), kpts)
         if t_imu is not None and hasattr(slam, "feed_imu") and i > 0:
             while imu_idx < len(t_imu) and t_imu[imu_idx] <= t_cam[i]:
+                # Feed RELATIVE time — track_frame gets t_rel below, and the
+                # preintegrator differences IMU stamps against frame stamps.
                 slam.feed_imu(seq["acc"][imu_idx], seq["gyro"][imu_idx],
-                              t_imu[imu_idx])
+                              float(t_imu[imu_idx] - t_cam[0]))
                 imu_idx += 1
         t_rel = float(t_cam[i] - t_cam[0])
         if stereo:
@@ -128,6 +132,7 @@ def main(argv=None):
     print(f"{len(paths)} frames in {wall:.1f}s ({len(paths) / wall:.1f} fps); "
           f"trajectory -> {args.out}", file=sys.stderr)
 
+    ate_cm = None
     if args.gt and len(times_) >= 2:
         gt_t, gt_p, _ = trajectory.load_tum(args.gt)
         est_pos = np.stack([-Rs[i].T @ ts[i] for i in range(len(times_))])
@@ -135,7 +140,16 @@ def main(argv=None):
         e = np.stack([est_pos[i] for i, _ in pairs])
         g = np.stack([gt_p[j] for _, j in pairs])
         rmse, _ = trajectory.ate_rmse(e, g, with_scale="inertial" not in args.sensor)
-        print(f"ATE RMSE: {rmse * 100:.2f} cm over {len(pairs)} poses")
+        ate_cm = float(rmse * 100)
+        print(f"ATE RMSE: {ate_cm:.2f} cm over {len(pairs)} poses")
+    if args.stats_out:
+        import json
+        with open(args.stats_out, "w") as f:
+            json.dump({"n_kf": int(slam.n_kf), "frames": len(paths),
+                       "fps": len(paths) / wall, "ate_cm": ate_cm,
+                       "n_loops": len(getattr(slam, "loop_events", [])),
+                       "imu_ready": bool(getattr(slam, "imu_ready", False))},
+                      f)
     return 0
 
 

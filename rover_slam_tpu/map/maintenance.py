@@ -38,9 +38,17 @@ def cull_landmarks(state: ms.MapState, min_found_ratio: float = 0.05,
 def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
                    min_kept_obs: int = 3):
     """Deactivate redundant keyframes: >= `redundancy` of their landmarks are
-    observed by >= min_kept_obs other keyframes (reference KeyFrameCulling).
-    Keyframes 0/1 (origin) and the newest are protected. Returns
-    (state, n_culled)."""
+    observed by >= min_kept_obs other keyframes (reference KeyFrameCulling,
+    src/LocalMapping.cc:1310-1504). Keyframes 0/1 (origin) and the newest are
+    protected, as are loop-edge endpoints (reference mspLoopEdges keeps a KF
+    not-erasable, KeyFrame::SetBadFlag src/KeyFrame.cc:719-745).
+
+    Graph surgery on cull (reference SetBadFlag :746-963): children of a
+    culled keyframe are re-parented to the culled keyframe's own parent —
+    done by pointer-jumping so whole culled CHAINS resolve in one fused
+    kernel (log2 K hops instead of the reference's per-KF mutex dance) —
+    keeping the spanning tree connected for the essential graph. Landmark
+    observation counts are decremented. Returns (state, n_culled)."""
     K, L = state.K, state.L
     obs = ms.observation_matrix(state)            # [K, L]
     lm_obs_count = jnp.sum(obs, axis=0)           # [L]
@@ -49,12 +57,30 @@ def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
     n_own = jnp.sum(obs, axis=1)
     n_red = jnp.sum(obs * redundant_lm, axis=1)
     frac = n_red / jnp.maximum(n_own, 1.0)
-    protect = (jnp.arange(K) <= 1) | (jnp.arange(K) >= state.n_kf - 2)
+    has_loop_edge = jnp.any(state.kf_loop_edges, axis=1)
+    protect = (jnp.arange(K) <= 1) | (jnp.arange(K) >= state.n_kf - 2) \
+        | has_loop_edge
     cull = state.kf_active & (frac > redundancy) & ~protect & (n_own > 0)
+    # Spanning-tree surgery: re-parent through culled ancestors.
+    # parent'[j] = first non-culled ancestor of j. Pointer-jumping: K is a
+    # power-of-two-ish capacity, ceil(log2(K)) hops suffice for any chain.
+    parent = state.kf_parent
+    culled_at = lambda p: (p >= 0) & cull[jnp.clip(p, 0, K - 1)]
+    import math
+    n_hops = max(1, math.ceil(math.log2(max(int(K), 2))))
+    for _ in range(n_hops):
+        pp = parent[jnp.clip(parent, 0, K - 1)]
+        parent = jnp.where(culled_at(parent), pp, parent)
+    # A culled keyframe's own parent pointer is cleared.
+    parent = jnp.where(cull, -1, parent)
+    # Decrement landmark observation counts for the dropped observations.
+    dropped = jnp.sum(obs * cull[:, None].astype(obs.dtype), axis=0)
+    lm_n_obs = jnp.maximum(state.lm_n_obs - dropped.astype(jnp.int32), 0)
     # Clear observations of culled KFs.
     li = jnp.where(cull[:, None], -1, state.kf_landmark_idx)
     state = state.replace(kf_active=state.kf_active & ~cull,
-                          kf_landmark_idx=li)
+                          kf_landmark_idx=li, kf_parent=parent,
+                          lm_n_obs=lm_n_obs)
     return state, jnp.sum(cull)
 
 
@@ -172,20 +198,15 @@ def update_distinctive_descriptors(state: ms.MapState, kf_id) -> ms.MapState:
     return state.replace(lm_desc=lm_desc)
 
 
-@functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))
-def global_ba(state: ms.MapState, cam_params, cam_kind: int = cameras.PINHOLE,
-              iters: int = 10) -> ms.MapState:
-    """Full-map bundle adjustment (reference GlobalBundleAdjustemnt — 10 iters
-    after a loop closure, run in a detached thread; here one device program
-    over every active keyframe/landmark using the PCG solver, which scales to
-    the whole map and shards over edges in the distributed path)."""
+@jax.jit
+def _build_global_problem(state: ms.MapState, cam_params):
     K, N, L = state.K, state.N, state.L
     li = state.kf_landmark_idx
     kv = state.kf_kpt_valid & state.kf_active[:, None]
     e_lm = jnp.clip(jnp.where((li >= 0) & kv, li, 0), 0, L - 1).reshape(-1)
     e_valid = ((li >= 0) & kv).reshape(-1) & state.lm_active[e_lm.reshape(-1)]
     e_kf = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
-    prob = ba.BAProblem(
+    return ba.BAProblem(
         R_cw=state.kf_R_cw, t_cw=state.kf_t_cw,
         pose_opt_mask=state.kf_active & (jnp.arange(K) != 0),
         lm_pos=state.lm_pos, lm_opt_mask=state.lm_active,
@@ -193,12 +214,43 @@ def global_ba(state: ms.MapState, cam_params, cam_kind: int = cameras.PINHOLE,
         e_kf=e_kf.astype(jnp.int32), e_lm=e_lm.astype(jnp.int32),
         e_uv=state.kf_kpts.reshape(-1, 2), e_valid=e_valid,
         e_info=jnp.ones((K * N,), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))
+def _global_ba_single(state: ms.MapState, cam_params, cam_kind: int,
+                      iters: int) -> ms.MapState:
+    K, N, L = state.K, state.N, state.L
+    prob = _build_global_problem(state, cam_params)
     res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, cg_iters=25,
                       solver="pcg", phases=2)
-    bad = (~res.e_inlier) & e_valid
-    li_new = jnp.where(bad.reshape(K, N), -1, li)
+    bad = (~res.e_inlier) & prob.e_valid
+    li_new = jnp.where(bad.reshape(K, N), -1, state.kf_landmark_idx)
     return state.replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw,
                          lm_pos=res.lm_pos, kf_landmark_idx=li_new)
+
+
+def global_ba(state: ms.MapState, cam_params, cam_kind: int = cameras.PINHOLE,
+              iters: int = 10, mesh=None) -> ms.MapState:
+    """Full-map bundle adjustment (reference GlobalBundleAdjustemnt — 10 iters
+    after a loop closure, run in a detached thread; here one device program
+    over every active keyframe/landmark using the PCG solver).
+
+    mesh: optional jax.sharding.Mesh — when given (and >1 device) the solve
+    dispatches to the landmark-variable-sharded distributed LM-PCG
+    (parallel.sharded_ba.solve_ba_sharded_lm): landmark math shard-local,
+    only the 6K-float pose vector rides the ICI psum. This is the live-loop
+    entry of the distributed backend (SURVEY §7 step 8) — the map-scale BA
+    is the problem that outgrows one chip first. (The sharded path's
+    edge-partitioning is host-side, so this branch runs outside jit.)"""
+    if mesh is None or mesh.devices.size <= 1:
+        return _global_ba_single(state, cam_params, cam_kind=cam_kind,
+                                 iters=iters)
+    from ..parallel import sharded_ba
+    L = state.L
+    prob = _build_global_problem(state, cam_params)
+    R, t, lm_pos, _ = sharded_ba.solve_ba_sharded_lm(
+        prob, mesh, cam_kind=cam_kind, iters=iters, cg_iters=25)
+    return state.replace(kf_R_cw=R, kf_t_cw=t, lm_pos=lm_pos[:L])
 
 
 @jax.jit

@@ -358,3 +358,15 @@ class LightGlueFrameMatcher:
         out = self.matcher(k0, desc0[None], valid0[None],
                            k1, desc1[None], valid1[None])
         return out["matches0"][0]
+
+    def match_batch(self, kpts0, desc0, valid0, kpts1, desc1, valid1):
+        """Batched pair matching: [B,N,...] inputs -> [B,N] int32 matches
+        (0->1). One LightGlue dispatch covers all B pairs — the batching win
+        over the reference's per-pair ONNX sessions (SPmatcher calls
+        LightGlue once per covisible neighbor in SearchForTriangulation,
+        src/Matchers/SPmatcher.cc:1355-1399, and once per candidate window
+        keyframe in SearchByBoWSP, :1670-1734)."""
+        k0 = normalize_keypoints(kpts0, self.image_hw)
+        k1 = normalize_keypoints(kpts1, self.image_hw)
+        out = self.matcher(k0, desc0, valid0, k1, desc1, valid1)
+        return out["matches0"]

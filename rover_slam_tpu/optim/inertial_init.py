@@ -167,6 +167,43 @@ def _linear_vgs(prob: InertialInitProblem, bg, fix_scale: bool = False,
     v = x[:3 * K].reshape(K, 3)
     g = x[3 * K:3 * K + 3]
     s = jnp.where(fix_scale, 1.0, x[3 * K + 3])
+    if not fix_scale:
+        # Gravity-magnitude-constrained refinement (the VINS-Mono
+        # RefineGravity idea): with |g| free, gravity (quadratic-in-time) and
+        # v0 (linear) can absorb most of the s*dp signal over short windows —
+        # the free-|g| solution then collapses the scale toward zero
+        # (observed on real-image maps: s came out ~1/200 of truth). Re-solve
+        # with g = G*ghat + T@w (w in the 2-dof tangent plane), iterating the
+        # linearization point; the scale snaps to the metrically-consistent
+        # value.
+        G = 9.81
+        A_g = A[:, 3 * K:3 * K + 3]                    # [rows, 3]
+        A_rest = jnp.concatenate([A[:, :3 * K], A[:, 3 * K + 3:]], axis=1)
+
+        def refine_once(g_cur, _):
+            ghat = g_cur / jnp.maximum(jnp.linalg.norm(g_cur), 1e-9)
+            # tangent basis of ghat
+            ref = jnp.where(jnp.abs(ghat[0]) < 0.9,
+                            jnp.array([1.0, 0.0, 0.0]),
+                            jnp.array([0.0, 1.0, 0.0]))
+            t1 = jnp.cross(ghat, ref)
+            t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-9)
+            t2 = jnp.cross(ghat, t1)
+            T = jnp.stack([t1, t2], axis=1)            # [3,2]
+            A2 = jnp.concatenate([A_rest, A_g @ T], axis=1)
+            b2 = b - A_g @ (G * ghat)
+            n2 = A2.shape[1]
+            x2 = jnp.linalg.solve(A2.T @ A2 + 1e-6 * jnp.eye(n2), A2.T @ b2)
+            w = x2[-2:]
+            g_new = G * ghat + T @ w
+            g_new = G * g_new / jnp.maximum(jnp.linalg.norm(g_new), 1e-9)
+            return g_new, x2
+
+        g_ref, xs = jax.lax.scan(refine_once, g, None, length=4)
+        x2 = xs[-1]
+        v = x2[:3 * K].reshape(K, 3)
+        s = x2[3 * K]
+        g = g_ref
     return v, g, s
 
 

@@ -57,10 +57,14 @@ def _edge_residual(xi_i, xi_j, s_i, R_i, t_i, s_j, R_j, t_j,
     return lie.sim3_log(se, Re, te)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def optimize_essential_graph(prob: PoseGraphProblem, iters: int = 20,
-                             lam: float = 1e-6):
-    """Gauss-Newton over Sim3 poses. Returns (s, R, t, cost_history)."""
+                             lam: float = 1e-6, fix_scale: bool = False):
+    """Gauss-Newton over Sim3 poses. Returns (s, R, t, cost_history).
+
+    fix_scale: lock every vertex's scale at its current value (the reference's
+    bFixScale Sim3 vertices for stereo/RGBD systems, VertexSim3Expmap
+    _fix_scale; src/Optimizer.cc:4509 callers)."""
     K = prob.s.shape[0]
     E = prob.e_i.shape[0]
     pmask = prob.opt_mask.astype(jnp.float32)
@@ -109,9 +113,15 @@ def optimize_essential_graph(prob: PoseGraphProblem, iters: int = 20,
                       lam * jnp.eye(7)[None]))
         g = g * pmask[:, None]
 
+        if fix_scale:
+            # Lock scale dofs (index 6 of the sim3 tangent): huge diagonal
+            # penalty + zeroed update, so scales pass through unchanged.
+            H = H.at[jnp.arange(K), 6, jnp.arange(K), 6].add(1e12)
         Hm = H.reshape(n, n)
         dx = -jnp.linalg.solve(Hm + 1e-9 * jnp.eye(n), g.reshape(n))
         dx = dx.reshape(K, 7) * pmask[:, None]
+        if fix_scale:
+            dx = dx.at[:, 6].set(0.0)
         ds, dR, dt = jax.vmap(lie.sim3_exp)(dx)
         s_new, R_new, t_new = jax.vmap(lie.sim3_compose)(ds, dR, dt, s, R, t)
         R_new = lie.normalize_rotation(R_new)

@@ -31,6 +31,20 @@ from .system import MonocularSLAM
 MAX_IMU_PER_FRAME = 64
 
 
+def _finite_infos(segs):
+    """Per-segment 9x9 preintegration information, with non-finite entries
+    (singular covariance from a degenerate/empty segment) zeroed out: the
+    solvers mask invalid edges by multiplication, and nan * 0 = nan would
+    poison the whole linear system. Appends the zero pad slot."""
+    infos = []
+    for s in segs:
+        i9 = np.asarray(preint.information_9(s))
+        infos.append(i9 if np.isfinite(i9).all()
+                     else np.zeros((9, 9), np.float32))
+    infos.append(np.zeros((9, 9), np.float32))
+    return infos
+
+
 @jax.jit
 def _preintegrate_kernel(accs, gyros, dts, mask, calib: preint.ImuCalib,
                          bg, ba):
@@ -132,6 +146,23 @@ class MonocularInertialSLAM(MonocularSLAM):
         self.refine_every = refine_every
         self.calib = imu_calib
         self.tinit_s = tinit_s
+        self.pre_init_kf_dt = 0.0   # optional min KF spacing (s) before IMU
+                                    # init (reference inserts every >=0.1 s,
+                                    # src/Tracking.cc:3736; 0 = always-insert
+                                    # like the fork's if(true) policy)
+        self.viba1_dt = 5.0         # VIBA1 at t_init+5 s, priors (1, 1e5)
+        self.viba2_dt = 15.0        # VIBA2 at t_init+15 s, priors (0, 0)
+                                    # (reference src/LocalMapping.cc:248-301)
+        self._init_stage = 0        # 0=no IMU, 1=init done, 2=VIBA1, 3=VIBA2
+        self._t_imu_init = 0.0
+        self.init_edge_dt = 0.25    # min TIME SPAN of an inertial edge in the
+                                    # init problem: consecutive-KF visual
+                                    # displacement must exceed the visual
+                                    # position noise or the scale estimate is
+                                    # biased toward zero (errors-in-variables)
+                                    # — so the init chain subsamples keyframes
+                                    # and MERGES the preintegration segments
+                                    # between picks (preint.merge is exact).
         self.imu_ready = False          # IMU initialized (gravity/scale known)
         self._imu_buf = []              # (acc, gyro, t) since last frame
         self._last_frame_time = None
@@ -223,6 +254,27 @@ class MonocularInertialSLAM(MonocularSLAM):
                 and self._elapsed_kf_time() >= self.tinit_s):
             self._initialize_imu()
         elif (self.imu_ready and self.tracking_state == T.OK
+                and self._init_stage == 1
+                and time - self._t_imu_init >= self.viba1_dt):
+            # VIBA1 (reference: @5 s with priors 1.0/1e5,
+            # src/LocalMapping.cc:267-281): re-estimate scale/gravity/biases
+            # with relaxed priors, then full-window inertial BA.
+            self._refine_scale(prior_g=1.0, prior_a=1e5)
+            self._run_vi_ba(window=self.n_kf - self._kf_base,
+                            iters=max(self.vi_ba_iters, 8))
+            self._init_stage = 2
+            self._last_refine_kf = self.n_kf
+        elif (self.imu_ready and self.tracking_state == T.OK
+                and self._init_stage == 2
+                and time - self._t_imu_init >= self.viba2_dt):
+            # VIBA2 (reference: @15 s with priors 0/0,
+            # src/LocalMapping.cc:281-301).
+            self._refine_scale(prior_g=0.0, prior_a=0.0)
+            self._run_vi_ba(window=self.n_kf - self._kf_base,
+                            iters=max(self.vi_ba_iters, 8))
+            self._init_stage = 3
+            self._last_refine_kf = self.n_kf
+        elif (self.imu_ready and self.tracking_state == T.OK
                 and self.refine_every > 0
                 and self.n_kf - self._last_refine_kf >= self.refine_every):
             # Periodic scale/gravity refinement (reference ScaleRefinement).
@@ -292,6 +344,20 @@ class MonocularInertialSLAM(MonocularSLAM):
         self._last_n_inl = n_inl
         self._vi_prior_H = res.marg_H
         self._vi_refined = True
+
+    def _need_new_keyframe(self, frame) -> bool:
+        """Pre-IMU-init keyframe cadence is TIME-based (reference: mono-IMU
+        inserts a KF every >=0.1 s before IMU init and relies on the regular
+        policy after, src/Tracking.cc:3736). Inserting every frame would make
+        consecutive-KF displacement smaller than the visual position noise,
+        which biases the scale/gravity estimate toward zero (errors-in-
+        variables); the time gate keeps the preintegration edges informative."""
+        if not self.imu_ready and self.n_kf >= 2 and self.last_frame is not None:
+            dt = frame.time - float(self.state.kf_time[self.n_kf - 1])
+            if dt < self.pre_init_kf_dt - 1e-3:
+                return False
+            return True
+        return super()._need_new_keyframe(frame)
 
     def _elapsed_kf_time(self):
         if self.n_kf < 2:
@@ -363,9 +429,12 @@ class MonocularInertialSLAM(MonocularSLAM):
             with self.timers.stage("merge_viba"):
                 self._run_vi_ba(window=min(12, len(self._kf_preints)))
 
-    def _run_vi_ba(self, window: int = 8):
+    def _run_vi_ba(self, window: int = 8, iters: int = None):
         """Temporal-window VI-BA after each keyframe (reference LocalInertialBA
-        with maxOpt=10 temporal KFs, src/Optimizer.cc:2203)."""
+        with maxOpt=10 temporal KFs, src/Optimizer.cc:2203). With
+        window=n_kf-_kf_base this is the FullInertialBA role (the reference's
+        init-time full-window inertial BA, src/Optimizer.cc:3237)."""
+        iters = self.vi_ba_iters if iters is None else iters
         W = min(window, self.n_kf - self._kf_base)
         if W < 3:
             return
@@ -379,8 +448,7 @@ class MonocularInertialSLAM(MonocularSLAM):
             arr.append(np.zeros_like(arr[0]))
             return jnp.asarray(np.stack(arr))
 
-        infos = [np.asarray(preint.information_9(s)) for s in segs]
-        infos.append(np.zeros((9, 9), np.float32))
+        infos = _finite_infos(segs)
         jidx = jnp.asarray(idx)
         st = self.state
         Kcap = st.K
@@ -423,7 +491,7 @@ class MonocularInertialSLAM(MonocularSLAM):
             e_uv=st.kf_kpts[jidx].reshape(-1, 2), e_valid=e_valid,
             e_info=jnp.full((W * N,), self.vi_ba_reproj_info, jnp.float32))
         R, p, v, bg, ba, X, costs = vi_ba_mod.solve_vi_ba(
-            prob, cam_kind=self.cfg.cam_kind, iters=self.vi_ba_iters)
+            prob, cam_kind=self.cfg.cam_kind, iters=iters)
         # Write back body + camera poses and landmarks.
         R_bw = jnp.swapaxes(R, -1, -2)
         R_cw = jnp.einsum("ij,kjl->kil", R_cb, R_bw)   # T_cw = T_cb T_bw
@@ -444,22 +512,25 @@ class MonocularInertialSLAM(MonocularSLAM):
         self.bg = bg[-1]
         self.ba = ba[-1]
 
-    def _refine_scale(self, max_window: int = 30):
+    def _refine_scale(self, max_window: int = 30,
+                      prior_g: float = 1e2, prior_a: float = 1e6):
         """Re-run the inertial-only estimator over a longer window and apply
-        the residual scale/gravity correction (reference ScaleRefinement)."""
-        W = min(max_window, self.n_kf - self._kf_base)
-        lo = self.n_kf - W
-        segs = self._kf_preints[lo - self._kf_base:
-                                self.n_kf - 1 - self._kf_base]
-        if len(segs) < 5:
+        the residual scale/gravity correction (reference ScaleRefinement;
+        with the VIBA1/VIBA2 prior schedules this is also the staged
+        InertialOptimization of src/LocalMapping.cc:267-301)."""
+        idx, segs = self._init_chain()
+        if len(idx) > max_window:
+            idx = idx[-max_window:]
+            segs = segs[-(len(idx) - 1):]
+        if len(segs) < 4:
             return
-        prob = self._build_init_problem(list(range(lo, self.n_kf)), segs)
-        res = ii.inertial_only_optimization(prob, prior_g=1e2, prior_a=1e6)
+        prob = self._build_init_problem(idx, segs)
+        res = ii.inertial_only_optimization(prob, prior_g=prior_g,
+                                            prior_a=prior_a)
         s = float(res.scale)
         if not np.isfinite(s) or not (0.25 < s < 4.0):
             return  # alignment should already be close; reject wild estimates
-        v_full = self.state.kf_v_wb.at[jnp.asarray(range(lo, self.n_kf))] \
-            .set(res.v_wb)
+        v_full = self.state.kf_v_wb.at[jnp.asarray(idx)].set(res.v_wb)
         self.state = _apply_alignment_kernel(
             self.state, res.Rwg, jnp.asarray(s), v_full, res.bg, res.ba,
             self.calib.Rbc, self.calib.tbc)
@@ -481,8 +552,7 @@ class MonocularInertialSLAM(MonocularSLAM):
             arr.append(np.zeros_like(arr[0]))
             return jnp.asarray(np.stack(arr))
 
-        infos = [np.asarray(preint.information_9(s)) for s in segs]
-        infos.append(np.zeros((9, 9), np.float32))
+        infos = _finite_infos(segs)
         K = len(idx)
         R_cw = self.state.kf_R_cw[jnp.asarray(idx)]
         t_cw = self.state.kf_t_cw[jnp.asarray(idx)]
@@ -503,22 +573,55 @@ class MonocularInertialSLAM(MonocularSLAM):
                 & (np.array([float(s.dt) for s in segs] + [0.0]) > 1e-6)))
 
     # ------------------------------------------------------------------
+    def _init_chain(self):
+        """Subsampled keyframe chain for the inertial init problem: picks KFs
+        >= init_edge_dt apart (merging the preintegration segments between
+        picks) so each inertial edge's visual displacement clears the
+        per-keyframe position noise. Starts at _kf_base+1 — the segment into
+        the first init KF is a placeholder (no IMU buffered pre-init).
+        Returns (idx, segs)."""
+        K = min(self.n_kf, len(self._kf_preints) + 1)
+        first = self.n_kf - K
+        times = np.asarray(self.state.kf_time[first:self.n_kf])
+        base_off = first - self._kf_base   # offset into _kf_preints
+        lo = 1 if base_off == 0 else 0     # skip the placeholder edge
+        picks = [lo]
+        for j in range(lo + 1, K):
+            if times[j] - times[picks[-1]] >= self.init_edge_dt - 1e-3:
+                picks.append(j)
+        if len(picks) < 3:
+            picks = list(range(lo, K))
+        idx = [first + j for j in picks]
+        segs = []
+        for a, b in zip(picks[:-1], picks[1:]):
+            seg = self._kf_preints[base_off + a]
+            for j in range(a + 1, b):
+                seg = preint.merge(seg, self._kf_preints[base_off + j])
+            segs.append(seg)
+        return idx, segs
+
     def _initialize_imu(self):
         """(reference InitializeIMU stage 1: priors 1e2/1e10, then alignment)."""
-        K = self.n_kf
-        Kmax = len(self._kf_preints) + 1
-        K = min(K, Kmax)
-        idx = list(range(self.n_kf - K, self.n_kf))
-        segs = self._kf_preints[-(K - 1):]
+        idx, segs = self._init_chain()
         prob = self._build_init_problem(idx, segs)
         res = ii.inertial_only_optimization(prob, prior_g=1e2, prior_a=1e10)
         scale = float(res.scale)
-        if not (0.1 < scale < 20.0) or not np.isfinite(scale):
-            return  # reference aborts on implausible scale (<0.5 gate-ish)
+        # Reference aborts on implausible scale (InitializeIMU scale gate,
+        # src/LocalMapping.cc:1832). With init_depth_scale the visual map is
+        # normalized to median depth 1, so the legitimate metric scale is
+        # ~the median scene depth (can be tens of meters).
+        if not (0.02 < scale < 100.0) or not np.isfinite(scale):
+            return
 
-        # Align the whole map: gravity to -z, metric scale.
-        v_full = jnp.zeros((self.state.K, 3))
-        v_full = v_full.at[jnp.asarray(idx)].set(res.v_wb)
+        # Align the whole map: gravity to -z, metric scale. Velocities of
+        # keyframes BETWEEN the subsampled init picks are forward-filled from
+        # the nearest estimated pick (VI-BA would read zeros otherwise).
+        v_np = np.zeros((int(self.state.K), 3), np.float32)
+        v_est = np.asarray(res.v_wb)
+        for j in range(idx[0], self.n_kf):
+            p = int(np.searchsorted(np.asarray(idx), j, side="right")) - 1
+            v_np[j] = v_est[max(p, 0)]
+        v_full = jnp.asarray(v_np)
         self.state = _apply_alignment_kernel(self.state, res.Rwg,
                                              jnp.asarray(scale), v_full,
                                              res.bg, res.ba,
@@ -537,4 +640,19 @@ class MonocularInertialSLAM(MonocularSLAM):
         self.v_wb = self.state.kf_v_wb[k_last]
         self.imu_ready = True
         self.vi_ba_enabled = True
+        if self.loop_closer is not None:
+            # Gravity is now aligned: loop corrections switch to the 4-DoF
+            # (yaw+translation) essential graph that must NOT re-estimate
+            # the metric scale or tilt (reference src/LoopClosing.cc:2048).
+            self.loop_closer.use_4dof = True
+        # Full-window inertial BA right after alignment (reference
+        # InitializeIMU -> FullInertialBA(100 its, bInit),
+        # src/LocalMapping.cc:1913): the global (gravity, scale) alignment
+        # cannot fix scale drift WITHIN the visual map; the joint
+        # visual-inertial solve re-anchors every keyframe on the metric IMU
+        # chain.
+        self._t_imu_init = float(self.state.kf_time[self.n_kf - 1])
+        self._init_stage = 1
+        self._run_vi_ba(window=self.n_kf - self._kf_base,
+                        iters=max(self.vi_ba_iters, 8))
         self.timers.add("imu_init", 0.0)

@@ -60,14 +60,24 @@ class LoopConfig:
 
 @functools.partial(jax.jit, static_argnames=("cam_kind", "fix_scale"))
 def _sim3_between_kfs(state: ms.MapState, kf_q, kf_c, cam_params, key,
-                      cam_kind: int, fix_scale: bool):
+                      cam_kind: int, fix_scale: bool, ext_matches=None):
     """Match landmark-bearing keypoints of two keyframes and solve a Sim3
-    (reference DetectCommonRegionsFromBoW_sp: SearchByBoWSP + Sim3Solver)."""
+    (reference DetectCommonRegionsFromBoW_sp: SearchByBoWSP + Sim3Solver).
+
+    ext_matches: optional [N] q->c matches from a learned matcher (the
+    reference's SearchByBoWSP is a LightGlue call,
+    src/Matchers/SPmatcher.cc:1524); restricted here to landmark-bearing
+    keypoints like the in-kernel path."""
     dq = state.kf_desc[kf_q].astype(jnp.float32)
-    dc = state.kf_desc[kf_c].astype(jnp.float32)
     has_q = state.kf_kpt_valid[kf_q] & (state.kf_landmark_idx[kf_q] >= 0)
     has_c = state.kf_kpt_valid[kf_c] & (state.kf_landmark_idx[kf_c] >= 0)
-    matches, _ = assoc.mutual_nn_match(dq, has_q, dc, has_c, ratio=0.85)
+    if ext_matches is not None:
+        mc0 = jnp.clip(ext_matches, 0, dq.shape[0] - 1)
+        matches = jnp.where((ext_matches >= 0) & has_q & has_c[mc0],
+                            ext_matches, -1)
+    else:
+        dc = state.kf_desc[kf_c].astype(jnp.float32)
+        matches, _ = assoc.mutual_nn_match(dq, has_q, dc, has_c, ratio=0.85)
     N = dq.shape[0]
     m = jnp.clip(matches, 0, N - 1)
     lm_q = jnp.clip(state.kf_landmark_idx[kf_q], 0, state.L - 1)
@@ -88,14 +98,22 @@ def _sim3_between_kfs(state: ms.MapState, kf_q, kf_c, cam_params, key,
     return res, jnp.sum(ok)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "mode"))
 def _correct_loop_kernel(state: ms.MapState, kf_q, kf_c, s_qc, R_qc, t_qc,
-                         min_covis_weight, iters: int):
+                         min_covis_weight, iters: int,
+                         mode: str = "sim3"):
     """Essential-graph correction after an accepted loop
     (reference CorrectLoop + OptimizeEssentialGraph).
 
     s_qc/R_qc/t_qc: Sim3 mapping kf_c camera frame -> kf_q camera frame
     (solver output: X_q = S * X_c).
+
+    mode: "sim3" (mono, 7-dof vertices — reference OptimizeEssentialGraph
+    src/Optimizer.cc:4509), "se3" (stereo/RGBD: Sim3 graph with scales
+    locked at 1 — bFixScale vertices), or "4dof" (inertial maps: yaw +
+    translation only, roll/pitch gravity-locked — reference
+    OptimizeEssentialGraph4DoF src/Optimizer.cc:4852, chosen at
+    src/LoopClosing.cc:2048).
     """
     K = state.K
     W = ms.covisibility(state)
@@ -140,8 +158,13 @@ def _correct_loop_kernel(state: ms.MapState, kf_q, kf_c, s_qc, R_qc, t_qc,
         opt_mask=kf_act & (jnp.arange(K) != kf_c) & (jnp.arange(K) != 0),
         e_i=e_i, e_j=e_j, e_s=s_m, e_R=R_m, e_t=t_m,
         e_valid=valid, e_weight=e_weight)
-    s_new, R_new, t_new, costs = pose_graph.optimize_essential_graph(
-        prob, iters=iters)
+    if mode == "4dof":
+        R_new, t_new, costs = pose_graph.optimize_pose_graph_4dof(
+            prob, iters=iters)
+        s_new = ones
+    else:
+        s_new, R_new, t_new, costs = pose_graph.optimize_essential_graph(
+            prob, iters=iters, fix_scale=(mode == "se3"))
 
     # Landmark correction through anchor keyframes, then SE3 recovery.
     anchor = jnp.clip(state.lm_anchor_kf, 0, K - 1)
@@ -315,16 +338,47 @@ class LoopCloser:
     """Host orchestration of loop detection + correction."""
 
     def __init__(self, cam_params, K: int, desc_dim: int,
-                 config: Optional[LoopConfig] = None, seed: int = 3):
+                 config: Optional[LoopConfig] = None, seed: int = 3,
+                 matcher=None, mesh=None):
+        """matcher: optional learned matcher adapter (models.lightglue.
+        LightGlueFrameMatcher) used for KF<->KF loop-candidate matching (the
+        reference's SearchByBoWSP LightGlue path); None = in-kernel
+        mutual-NN. mesh: optional jax.sharding.Mesh — post-loop global BA
+        dispatches to the landmark-sharded distributed solver."""
+        self.mesh = mesh
         self.cfg = config or LoopConfig()
         self.cam_params = jnp.asarray(cam_params)
         self.db = kdb.empty_db(desc_dim, K, n_words=2048, seed=seed)
         self._rng = jax.random.PRNGKey(seed)
+        self.matcher = matcher
         self.loops_closed = []
+        # 4-DoF pose graph once the owning system's IMU is initialized
+        # (set by the inertial systems; reference src/LoopClosing.cc:2048
+        # switches on map->IsInertial() && map->GetIniertialBA1()).
+        self.use_4dof = False
         # Active loop hypothesis awaiting temporal confirmation:
         # {cand, q_last, count, misses, s, R, t} with (s,R,t) the Sim3
         # candidate-camera -> q_last-camera (reference mnLoopNumCoincidences).
         self._hyp = None
+
+    def _kf_matches(self, state: ms.MapState, kf_q: int, kf_c: int):
+        """Learned KF<->KF matches for the Sim3 stage, or None (then the
+        kernel falls back to mutual-NN)."""
+        if self.matcher is None or not hasattr(self.matcher, "__call__"):
+            return None
+        q = int(kf_q); c = int(kf_c)
+        return self.matcher(
+            state.kf_kpts[q], state.kf_desc[q].astype(jnp.float32),
+            state.kf_kpt_valid[q],
+            state.kf_kpts[c], state.kf_desc[c].astype(jnp.float32),
+            state.kf_kpt_valid[c])
+
+    @property
+    def pose_graph_mode(self) -> str:
+        """Pose-graph flavor for loop correction (see _correct_loop_kernel)."""
+        if self.use_4dof:
+            return "4dof"
+        return "se3" if self.cfg.fix_scale else "sim3"
 
     def on_keyframe(self, state: ms.MapState, kf_id: int):
         """Process a new keyframe. Returns (state, info dict)."""
@@ -354,7 +408,8 @@ class LoopCloser:
             res, n_match = _sim3_between_kfs(
                 state, jnp.asarray(kf_id, jnp.int32),
                 jnp.asarray(int(cand), jnp.int32), self.cam_params, key,
-                self.cfg.cam_kind, self.cfg.fix_scale)
+                self.cfg.cam_kind, self.cfg.fix_scale,
+                ext_matches=self._kf_matches(state, kf_id, int(cand)))
             if int(n_match) < self.cfg.min_bow_matches:
                 continue
             if not bool(res.success) or int(res.n_inliers) < self.cfg.min_sim3_inliers:
@@ -405,7 +460,8 @@ class LoopCloser:
         res, n_match = _sim3_between_kfs(
             state, jnp.asarray(kf_id, jnp.int32),
             jnp.asarray(cand, jnp.int32), self.cam_params, key,
-            self.cfg.cam_kind, self.cfg.fix_scale)
+            self.cfg.cam_kind, self.cfg.fix_scale,
+            ext_matches=self._kf_matches(state, kf_id, int(cand)))
         if bool(res.success) and int(res.n_inliers) >= self.cfg.min_sim3_inliers:
             s, R, t, n_inl = res.s, res.R, res.t, int(res.n_inliers)
         elif hyp["q_last"] == kf_id:
@@ -441,7 +497,7 @@ class LoopCloser:
             state, jnp.asarray(kf_id, jnp.int32),
             jnp.asarray(cand, jnp.int32), s, R, t,
             jnp.asarray(self.cfg.min_covis_weight, jnp.int32),
-            self.cfg.pose_graph_iters)
+            self.cfg.pose_graph_iters, mode=self.pose_graph_mode)
         state, n_fused = _fuse_after_loop_kernel(
             state, jnp.asarray(kf_id, jnp.int32),
             jnp.asarray(cand, jnp.int32), self.cam_params,
@@ -454,7 +510,8 @@ class LoopCloser:
             from ..map import maintenance
             state = maintenance.global_ba(state, self.cam_params,
                                           cam_kind=self.cfg.cam_kind,
-                                          iters=self.cfg.gba_iters)
+                                          iters=self.cfg.gba_iters,
+                                          mesh=self.mesh)
         info = {"loop": True, "candidate": cand,
                 "n_inliers": n_inl,
                 "scale": float(s),

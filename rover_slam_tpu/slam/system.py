@@ -33,7 +33,7 @@ class MonocularSLAM:
     def __init__(self, cam_params, config: Optional[T.TrackerConfig] = None,
                  map_capacity=(128, 512, 8192), desc_dim: int = 64,
                  enable_loop_closing: bool = False, loop_config=None,
-                 pipeline=False, matcher=None):
+                 pipeline=False, matcher=None, mesh=None):
         """pipeline=K (int, or True=4) defers the per-frame scalar fetch by K
         frames: the tracking kernel for frame i is dispatched asynchronously,
         its ok/inlier flags start an async device->host copy immediately, and
@@ -62,10 +62,12 @@ class MonocularSLAM:
         K, N, L = map_capacity
         self.state = ms.empty_map(K=K, N=N, L=L, D=desc_dim)
         self.loop_closer = None
+        self.mesh = mesh   # multi-device Mesh: map-scale BA shards over it
         if enable_loop_closing:
             from .loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cam_params, K, desc_dim,
-                                          config=loop_config)
+                                          config=loop_config, matcher=matcher,
+                                          mesh=mesh)
         self.loop_events = []
         self.tracking_state = T.NO_IMAGES_YET
         self.velocity = None          # (dR, dt) motion model (Tcw increment)
@@ -118,7 +120,8 @@ class MonocularSLAM:
                 ref_kf=jnp.asarray(max(self.n_kf - 1, 0), jnp.int32),
                 local_map_only=self.cfg.local_map_only,
                 ext_matches=ext_matches,
-                max_depth=jnp.asarray(self.cfg.th_far_points, jnp.float32))
+                max_depth=jnp.asarray(self.cfg.th_far_points, jnp.float32),
+                min_matches_ref_kf=self.cfg.min_matches_ref_kf)
             frame.R_cw, frame.t_cw, frame.landmark_idx = R2, t2, cur_lm
 
         if self.pipeline:
@@ -163,9 +166,20 @@ class MonocularSLAM:
                 # RECENTLY_LOST grace window, src/Tracking.cc:4446).
                 with self.timers.stage("reloc"):
                     self._rng, key = jax.random.split(self._rng)
-                    Rr, tr, lm_r, ok_r, n_r = T._relocalize_kernel(
-                        self.state, frame.kpts, frame.desc, frame.valid,
-                        self.cam_params, key, self.cfg.cam_kind)
+                    ext = self._reloc_candidates_matches(frame)
+                    if ext is not None:
+                        # Learned path: batched LightGlue against candidate
+                        # keyframes (reference SearchByBoWSP + MLPnP,
+                        # src/Tracking.cc:4446-4672).
+                        cand_ids, ext_m = ext
+                        Rr, tr, lm_r, ok_r, n_r = T._reloc_from_kf_matches(
+                            self.state, cand_ids, ext_m, frame.kpts,
+                            frame.valid, self.cam_params, key,
+                            self.cfg.cam_kind)
+                    else:
+                        Rr, tr, lm_r, ok_r, n_r = T._relocalize_kernel(
+                            self.state, frame.kpts, frame.desc, frame.valid,
+                            self.cam_params, key, self.cfg.cam_kind)
                     if bool(ok_r):
                         frame.R_cw, frame.t_cw = Rr, tr
                         frame.landmark_idx = lm_r
@@ -258,7 +272,11 @@ class MonocularSLAM:
         # Two-view reconstruction on z=1-plane coords.
         x0, x1 = T._init_coords(f0.rays, frame.rays, matches)
         self._rng, key = jax.random.split(self._rng)
-        tv = two_view.reconstruct(x0, x1, matches >= 0, key,
+        # Measurement sigma in normalized (z=1 plane) units: the RANSAC chi2
+        # gates are calibrated in PIXELS (reference sigma=1px), so scale by
+        # the configured focal length.
+        sigma_n = float(self.cfg.init_sigma_px) / float(self.cam_params[0])
+        tv = two_view.reconstruct(x0, x1, matches >= 0, key, sigma_n=sigma_n,
                                   min_inliers=self.cfg.min_init_matches // 2)
         if not bool(tv.success):
             return False
@@ -308,6 +326,40 @@ class MonocularSLAM:
             self.state.kf_kpt_valid[kf_id])
 
     # ------------------------------------------------------------------
+    def _reloc_candidates_matches(self, frame, n_cand: int = 3):
+        """When a learned matcher is configured: pick relocalization candidate
+        keyframes (place-recognition database when loop closing is on, else
+        the most recent active KFs) and run ONE batched match of the lost
+        frame against all of them. Returns (cand_ids [B], matches [B, N]) or
+        None (use the global landmark-table reloc kernel instead)."""
+        if self.matcher is None or not hasattr(self.matcher, "match_batch"):
+            return None
+        if self.loop_closer is not None:
+            from ..map import keyframe_database as kdb
+            tf = kdb.bow_transform(self.loop_closer.db.vocab,
+                                   frame.desc.astype(jnp.float32), frame.valid)
+            W = ms.covisibility(self.state)
+            none_conn = jnp.zeros((self.state.K,), bool)
+            ids, _ = kdb.detect_candidates(
+                self.loop_closer.db, tf, W,
+                self.n_kf - 1, none_conn, n_best=n_cand)
+            ids = np.asarray(ids)
+        else:
+            ids = np.asarray([self.n_kf - 1 - i for i in range(n_cand)])
+        ids = ids[(ids >= 0) & (ids < self.n_kf)]
+        if len(ids) == 0:
+            return None
+        idc = jnp.asarray(ids, jnp.int32)
+        jc = jnp.clip(idc, 0, self.state.K - 1)
+        ext = self.matcher.match_batch(
+            self.state.kf_kpts[jc],
+            self.state.kf_desc[jc].astype(jnp.float32),
+            self.state.kf_kpt_valid[jc],
+            jnp.stack([frame.kpts] * len(ids)),
+            jnp.stack([frame.desc] * len(ids)),
+            jnp.stack([frame.valid] * len(ids)))
+        return idc, ext
+
     def _predict_pose(self):
         """Constant-velocity motion model (reference TrackWithMotionModel)."""
         R1, t1 = self.last_frame.R_cw, self.last_frame.t_cw
@@ -385,6 +437,26 @@ class MonocularSLAM:
         # sustained load is within its behavior envelope).
         run_ba = (self.cfg.ba_every <= 1
                   or self.n_kf % self.cfg.ba_every == 0)
+        ext_ids = ext_tri = None
+        if (self.matcher is not None and self.n_kf >= 2
+                and hasattr(self.matcher, "match_batch")):
+            # Learned triangulation matches (reference SearchForTriangulation
+            # via LightGlue, src/LocalMapping.cc:634): find the top-2 covis
+            # neighbors, then ONE batched LightGlue dispatch for both pairs.
+            # Costs one scalar fetch for the neighbor ids.
+            ids = np.asarray(T._top_covis_for_frame(
+                self.state, frame.landmark_idx, frame.valid, n=2))
+            if (ids >= 0).any():
+                idc = np.clip(ids, 0, self.state.K - 1)
+                jid = jnp.asarray(idc)
+                ext_tri = self.matcher.match_batch(
+                    jnp.stack([frame.kpts] * len(idc)),
+                    jnp.stack([frame.desc] * len(idc)),
+                    jnp.stack([frame.valid] * len(idc)),
+                    self.state.kf_kpts[jid],
+                    self.state.kf_desc[jid].astype(jnp.float32),
+                    self.state.kf_kpt_valid[jid])
+                ext_ids = jnp.asarray(ids, jnp.int32)
         self.state, scalars = T._insert_keyframe_kernel(
             self.state, frame.R_cw, frame.t_cw, frame.kpts, frame.rays,
             frame.desc, frame.valid, frame.landmark_idx,
@@ -392,7 +464,7 @@ class MonocularSLAM:
             jnp.asarray(self.n_kf - 1, jnp.int32),
             self.cam_params, self.cfg.cam_kind,
             self.cfg.local_window, self.cfg.fixed_window, self.cfg.ba_iters,
-            run_ba=run_ba)
+            run_ba=run_ba, ext_tri_ids=ext_ids, ext_tri_matches=ext_tri)
         self.n_kf += 1
         self.frames_since_kf = 0
         kf_id_i = self.n_kf - 1

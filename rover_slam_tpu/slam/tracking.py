@@ -72,6 +72,8 @@ class TrackerConfig:
     min_kfs_keep_map: int = 10  # on LOST: reset map if younger, else new
                                 # Atlas map (src/Tracking.cc:2302-2308)
     init_depth_scale: bool = True     # rescale init map to median depth 1
+    init_sigma_px: float = 1.0    # two-view RANSAC measurement sigma (pixels,
+                                  # reference TwoViewReconstruction sigma=1.0)
     th_far_points: float = 100.0  # System.thFarPoints: discard landmarks
                                   # beyond this depth in the projection
                                   # search (reference SPmatcher.cc:1184)
@@ -269,7 +271,8 @@ def _triangulate_pair_kernel(state: ms.MapState, kf_new, kf_nbr, cam_params,
 
 def _triangulate_pair_kernel_body(state: ms.MapState, kf_new, kf_nbr,
                                   cam_params, cam_kind, enabled,
-                                  min_parallax_cos=0.9998):
+                                  min_parallax_cos=0.9998,
+                                  ext_matches=None):
     """Create new landmarks between a new keyframe and one covisible neighbor
     (reference LocalMapping::CreateNewMapPoints src/LocalMapping.cc:517-955).
 
@@ -277,14 +280,24 @@ def _triangulate_pair_kernel_body(state: ms.MapState, kf_new, kf_nbr,
     and registers observations in both keyframes. `enabled` (traced bool)
     masks the whole update so the caller can gate on covisibility weight
     without a host round trip.
+
+    ext_matches: optional [N] new->nbr match indices from a learned matcher
+    (the reference's LightGlue SearchForTriangulation path,
+    src/Matchers/SPmatcher.cc:1355-1399); geometric gates still apply.
     """
     N = state.N
     d_new = state.kf_desc[kf_new].astype(jnp.float32)
-    d_nbr = state.kf_desc[kf_nbr].astype(jnp.float32)
     free_new = state.kf_kpt_valid[kf_new] & (state.kf_landmark_idx[kf_new] < 0)
     free_nbr = state.kf_kpt_valid[kf_nbr] & (state.kf_landmark_idx[kf_nbr] < 0)
-    matches, _ = assoc.mutual_nn_match(d_new, free_new, d_nbr, free_nbr,
-                                       th_desc2=assoc.TH_LOW ** 2, ratio=0.8)
+    if ext_matches is not None:
+        mc = jnp.clip(ext_matches, 0, N - 1)
+        matches = jnp.where((ext_matches >= 0) & free_new & free_nbr[mc],
+                            ext_matches, -1)
+    else:
+        d_nbr = state.kf_desc[kf_nbr].astype(jnp.float32)
+        matches, _ = assoc.mutual_nn_match(d_new, free_new, d_nbr, free_nbr,
+                                           th_desc2=assoc.TH_LOW ** 2,
+                                           ratio=0.8)
     R0, t0 = state.kf_R_cw[kf_new], state.kf_t_cw[kf_new]
     R1, t1 = state.kf_R_cw[kf_nbr], state.kf_t_cw[kf_nbr]
     # Relative pose for epipolar gate: T0w * T1w^-1.
@@ -334,7 +347,8 @@ def _track_step_kernel(state: ms.MapState,
                        min_matches_motion, min_inliers_track,
                        min_inliers_local_map, proj_radius, desc_th2,
                        ref_kf=None, local_map_only: bool = False,
-                       ext_matches=None, max_depth=100.0):
+                       ext_matches=None, max_depth=100.0,
+                       min_matches_ref_kf=15):
     """ONE fused per-frame tracking program: frame-to-frame match -> motion-model
     pose opt -> local-map projection track -> pose opt.
 
@@ -372,9 +386,44 @@ def _track_step_kernel(state: ms.MapState,
     n_cand = jnp.sum(cand_ok.astype(jnp.int32))
     motion_ok = (n_cand >= min_matches_motion) & \
         (res_m.n_inliers >= min_inliers_track)
-    R1 = jnp.where(motion_ok, res_m.R_cw, R_pred)
-    t1 = jnp.where(motion_ok, res_m.t_cw, t_pred)
-    cur_lm1 = jnp.where(motion_ok & res_m.inliers, cur_lm0, -1)
+
+    # --- reference-keyframe fallback (reference TrackReferenceKeyFrame,
+    # src/Tracking.cc:3245-3315: on motion-model failure, match the frame
+    # against the reference KEYFRAME's landmark-bearing keypoints and
+    # pose-optimize — the recovery stage between "motion model failed" and
+    # full relocalization). lax.cond: only the taken branch executes. ---
+    ref = jnp.clip(ref_kf, 0, state.K - 1)
+
+    def _ref_kf_track(_):
+        ref_desc = state.kf_desc[ref].astype(jnp.float32)
+        ref_lidx = state.kf_landmark_idx[ref]
+        ref_has = state.kf_kpt_valid[ref] & (ref_lidx >= 0)
+        m_ref, _ = assoc.mutual_nn_match(ref_desc, ref_has,
+                                         cur_desc, cur_valid, ratio=0.8)
+        lm_r = jnp.full((N,), -1, jnp.int32).at[
+            jnp.clip(m_ref, 0, N - 1)].max(
+            jnp.where((m_ref >= 0) & ref_has, ref_lidx, -1), mode="drop")
+        lmc = jnp.clip(lm_r, 0, L - 1)
+        okc = (lm_r >= 0) & state.lm_active[lmc] & cur_valid
+        res_r = pose_opt.pose_optimization(
+            R_pred, t_pred, state.lm_pos[lmc], cur_kpts, okc, cam_params,
+            cam_kind=cam_kind, rounds=2, iters_per_round=8, check_cost=False)
+        okr = (jnp.sum(okc.astype(jnp.int32)) >= min_matches_ref_kf) & \
+            (res_r.n_inliers >= min_inliers_track)
+        return (okr, res_r.R_cw, res_r.t_cw,
+                jnp.where(res_r.inliers, lm_r, -1))
+
+    def _no_fallback(_):
+        return (jnp.asarray(False),
+                R_pred, t_pred, jnp.full((N,), -1, jnp.int32))
+
+    ref_ok, R_r, t_r, lm_r = jax.lax.cond(motion_ok, _no_fallback,
+                                          _ref_kf_track, operand=None)
+    stage1_ok = motion_ok | ref_ok
+    R1 = jnp.where(motion_ok, res_m.R_cw, jnp.where(ref_ok, R_r, R_pred))
+    t1 = jnp.where(motion_ok, res_m.t_cw, jnp.where(ref_ok, t_r, t_pred))
+    cur_lm1 = jnp.where(motion_ok, jnp.where(res_m.inliers, cur_lm0, -1),
+                        jnp.where(ref_ok, lm_r, -1))
 
     # --- local-map stage ---
     if local_map_only:
@@ -417,8 +466,26 @@ def _track_step_kernel(state: ms.MapState,
     R2 = jnp.where(ok, res_l.R_cw, R_pred)
     t2 = jnp.where(ok, res_l.t_cw, t_pred)
     flags = jnp.stack([ok.astype(jnp.int32), res_l.n_inliers,
-                       motion_ok.astype(jnp.int32), n_cand])
+                       stage1_ok.astype(jnp.int32), n_cand])
     return R2, t2, jnp.where(ok, cur_lm, -1), flags
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _top_covis_for_frame(state: ms.MapState, frame_lidx, frame_valid,
+                         n: int = 2):
+    """Top-n keyframes sharing landmarks with a (not yet inserted) frame —
+    the neighbors its triangulation will run against. One tiny program whose
+    [n] result the host fetches to drive the batched learned-matcher call."""
+    L = state.L
+    has = (frame_lidx >= 0) & frame_valid
+    f_ind = jnp.zeros((L,), jnp.float32).at[
+        jnp.clip(frame_lidx, 0, L - 1)].max(has.astype(jnp.float32),
+                                            mode="drop")
+    obs = ms.observation_matrix(state).astype(jnp.float32)   # [K, L]
+    w = obs @ f_ind
+    w = jnp.where(state.kf_active, w, -1.0)
+    wts, ids = jax.lax.top_k(w, n)
+    return jnp.where(wts > 0, ids, -1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -427,24 +494,37 @@ def _track_step_kernel(state: ms.MapState,
 def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
                             lidx, time, parent, cam_params, cam_kind,
                             n_opt: int, n_fixed: int, ba_iters: int,
-                            run_ba: bool = True):
+                            run_ba: bool = True,
+                            ext_tri_ids=None, ext_tri_matches=None):
     """ONE fused keyframe-insertion program: add KF -> covisibility -> new-point
     triangulation against the top-2 covisible neighbors -> windowed local BA
     with writeback. (The reference queues the same work to its LocalMapping
     thread, src/LocalMapping.cc:95-362.)
+
+    ext_tri_ids [2] / ext_tri_matches [2, N]: optional learned-matcher
+    triangulation matches against the given neighbor keyframes (computed by
+    the host via one BATCHED LightGlue dispatch — reference
+    SearchForTriangulation, src/LocalMapping.cc:634). The covisibility-weight
+    gate still applies.
 
     Returns (state, kf_id, scalars [kf_id, n_new0, n_new1, n_obs]).
     """
     state, kf_id = ms.add_keyframe(state, R, t, kpts, rays, desc, valid, lidx,
                                    time, parent=parent)
     W = ms.covisibility(state)
-    ids, wts = ms.best_covisible(W, kf_id, 2)
+    if ext_tri_ids is not None:
+        ids = ext_tri_ids
+        wts = W[kf_id, jnp.clip(ids, 0, state.K - 1)]
+    else:
+        ids, wts = ms.best_covisible(W, kf_id, 2)
 
     def tri(state, j):
         nbr = jnp.clip(ids[j], 0, state.K - 1)
         enabled = (ids[j] >= 0) & (wts[j] >= 10)
         new_state, n_new = _triangulate_pair_kernel_body(
-            state, kf_id, nbr, cam_params, cam_kind, enabled)
+            state, kf_id, nbr, cam_params, cam_kind, enabled,
+            ext_matches=(None if ext_tri_matches is None
+                         else ext_tri_matches[j]))
         return new_state, n_new
 
     state, n_new0 = tri(state, 0)
@@ -504,6 +584,45 @@ def _relocalize_kernel(state: ms.MapState, cur_kpts, cur_desc, cur_valid,
                          cam_kind=cam_kind)
     cur_lm = jnp.where(res.inliers & ok_m, matches, -1)
     return res.R_cw, res.t_cw, cur_lm, res.success, res.n_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind",))
+def _reloc_from_kf_matches(state: ms.MapState, cand_ids, ext_matches,
+                           cur_kpts, cur_valid, cam_params, key,
+                           cam_kind: int):
+    """Relocalization from learned KF<->frame matches: for each candidate
+    keyframe, transport its landmark associations through the (batched
+    LightGlue) matches and solve PnP RANSAC; the best candidate wins
+    (reference Relocalization: SearchByBoWSP per candidate + MLPnP RANSAC,
+    src/Tracking.cc:4446-4672).
+
+    cand_ids [B], ext_matches [B, N] (candidate-KF kpt -> frame kpt).
+    Returns (R, t, cur_lm [N], ok, n_inliers)."""
+    from ..optim import pnp
+    B = cand_ids.shape[0]
+    N = cur_kpts.shape[0]
+    L = state.L
+
+    def one(c, m, k):
+        cc = jnp.clip(c, 0, state.K - 1)
+        kf_lidx = state.kf_landmark_idx[cc]
+        has = (m >= 0) & (kf_lidx >= 0) & state.kf_kpt_valid[cc]
+        lm_of_cur = jnp.full((N,), -1, jnp.int32).at[
+            jnp.clip(m, 0, N - 1)].max(
+            jnp.where(has, kf_lidx, -1), mode="drop")
+        lc = jnp.clip(lm_of_cur, 0, L - 1)
+        ok_m = (lm_of_cur >= 0) & cur_valid & state.lm_active[lc] & (c >= 0)
+        res = pnp.pnp_ransac(state.lm_pos[lc], cur_kpts, ok_m, cam_params, k,
+                             cam_kind=cam_kind)
+        lm = jnp.where(res.inliers & ok_m, lm_of_cur, -1)
+        n = jnp.where(res.success & (c >= 0), res.n_inliers, -1)
+        return res.R_cw, res.t_cw, lm, n
+
+    keys = jax.random.split(key, B)
+    Rs, ts, lms, ns = jax.vmap(one)(cand_ids, ext_matches, keys)
+    best = jnp.argmax(ns)
+    return (Rs[best], ts[best], lms[best], ns[best] > 0,
+            jnp.maximum(ns[best], 0))
 
 
 # --- small jitted wrappers so the host loop never dispatches eager ops

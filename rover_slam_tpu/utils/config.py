@@ -190,17 +190,55 @@ def build_system(settings: Settings, **kw):
     (reference System ctor sensor switch, src/System.cc:50-282). Honors the
     YAML `loopClosing` flag (src/System.cc:111-116) and, when
     System.LoadAtlasFromFile is set, resumes from the saved Atlas
-    (src/System.cc:156-206); callers can override both via kwargs."""
+    (src/System.cc:156-206); callers can override both via kwargs.
+
+    Map tables are sized to the configured feature stack: N keypoint slots =
+    ORBextractor.nFeatures, descriptor dim = the extractor's (SuperPoint =
+    256), K/L capacities from System.MapKeyFrames / System.MapLandmarks.
+    The LoopConfig is derived from the camera model and sensor: fisheye
+    systems verify loops with KB8 projection, and stereo/RGBD/inertial
+    sensors lock the Sim3 scale (reference fixed-scale Sim3Solver,
+    src/Sim3Solver.cc:152, and LoopClosing's bFixedScale wiring)."""
     from ..slam.system import MonocularSLAM
     from ..slam.inertial_system import MonocularInertialSLAM
     from ..slam.stereo import StereoSLAM, RGBDSLAM
     from ..slam.stereo_inertial import StereoInertialSLAM
     from ..slam.tracking import TrackerConfig
 
-    cfg = kw.pop("config", TrackerConfig(
-        cam_kind=settings.cam_kind, image_hw=settings.image_hw,
-        th_far_points=float(settings.th_far_points or 100.0)))
+    n_feat = int(settings.n_features)
+    cfg = kw.pop("config", None)
+    if cfg is None:
+        cfg = TrackerConfig(
+            cam_kind=settings.cam_kind, image_hw=settings.image_hw,
+            th_far_points=float(settings.th_far_points or 100.0),
+            # The reference's inlier gates are calibrated to its 1024-feature
+            # budget: 100 init matches (src/Tracking.cc:2922), 30 local-map
+            # inliers (:3650-3720), 10 motion-model inliers (:3489). At
+            # nFeatures=1024 these formulas reproduce those constants exactly;
+            # smaller budgets scale proportionally (floored so the gates stay
+            # meaningful).
+            min_init_matches=max(20, min(100, n_feat // 10)),
+            min_inliers_local_map=max(10, min(30, n_feat * 30 // 1024)),
+            min_inliers_track=max(6, min(10, n_feat * 10 // 1024)),
+            # Reference KeyFrameCulling runs per keyframe
+            # (src/LocalMapping.cc:1310); the fused-kernel equivalent runs on
+            # a small cadence so real runs bound their map growth.
+            kf_cull_every=4)
+    # Size the device map tables to the feature stack (N keypoint slots per
+    # KF must hold every extractor output; D must match its descriptors).
+    kw.setdefault("desc_dim", int(_get(settings.raw, "Extractor.descDim",
+                                       default=256)))
+    K_cap = int(_get(settings.raw, "System.MapKeyFrames", default=128))
+    L_cap = int(_get(settings.raw, "System.MapLandmarks",
+                     default=max(8192, 16 * n_feat)))
+    kw.setdefault("map_capacity", (K_cap, n_feat, L_cap))
     kw.setdefault("enable_loop_closing", settings.loop_closing)
+    if kw.get("enable_loop_closing") and "loop_config" not in kw:
+        from ..slam.loop_closing import LoopConfig
+        kw["loop_config"] = LoopConfig(
+            cam_kind=settings.cam_kind,
+            fix_scale=("inertial" in settings.sensor
+                       or settings.sensor in ("stereo", "rgbd")))
     if settings.sensor == "monocular":
         slam = MonocularSLAM(settings.cam_params, config=cfg, **kw)
     elif settings.sensor == "monocular-inertial":

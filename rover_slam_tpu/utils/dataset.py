@@ -198,8 +198,14 @@ def load_kitti_sequence(root: str):
     if img_dir is None:
         raise IOError(f"no image_0/ or image_2/ under {root}")
     names = sorted(n for n in os.listdir(img_dir) if n.endswith(".png"))
-    out = {"t_cam": t_cam[: len(names)],
-           "image_paths": [os.path.join(img_dir, n) for n in names]}
+    if len(names) != len(t_cam):
+        import warnings
+        warnings.warn(f"KITTI sequence {root}: {len(names)} images vs "
+                      f"{len(t_cam)} timestamps; truncating to the shorter")
+    n = min(len(names), len(t_cam))
+    names = names[:n]
+    out = {"t_cam": t_cam[:n],
+           "image_paths": [os.path.join(img_dir, n_) for n_ in names]}
     right_dir = os.path.join(root, {"image_0": "image_1",
                                     "image_2": "image_3"}[
                                         os.path.basename(img_dir)])
@@ -215,9 +221,10 @@ def load_kitti_sequence(root: str):
 def load_tum_rgbd_sequence(root: str, max_dt: float = 0.02):
     """TUM RGB-D layout: rgb.txt / depth.txt index files ('t path' lines,
     '#' comments) + groundtruth.txt. Depth frames are associated to RGB
-    frames by nearest timestamp (reference: evaluation/associate.py policy;
-    the mono_tum example binary reads the same rgb.txt,
-    CMakeLists.txt:153-155)."""
+    frames by NEAREST timestamp within max_dt — note this is not the
+    reference evaluation/associate.py policy (greedy one-to-one), so a depth
+    frame can serve several RGB frames on dropped-frame sequences. The
+    mono_tum example binary reads the same rgb.txt (CMakeLists.txt:153-155)."""
     def read_index(path):
         ts, names = [], []
         with open(path) as f:
@@ -236,7 +243,7 @@ def load_tum_rgbd_sequence(root: str, max_dt: float = 0.02):
     depth_index = os.path.join(root, "depth.txt")
     if os.path.exists(depth_index):
         t_d, d_names = read_index(depth_index)
-        # nearest-timestamp depth per RGB frame; -1 = no depth close enough
+        # nearest-timestamp depth per RGB frame; None = no depth within max_dt
         j = np.searchsorted(t_d, t_rgb)
         j = np.clip(j, 0, len(t_d) - 1)
         jm = np.clip(j - 1, 0, len(t_d) - 1)
@@ -268,8 +275,9 @@ def detect_sequence_format(root: str) -> str:
 
 
 def load_sequence(root: str, fmt: str = "auto"):
-    """Format-dispatched sequence loader. Returns the same dict shape for
-    every format (t_cam, image_paths, + format extras)."""
+    """Format-dispatched sequence loader. Returns a (data, fmt) TUPLE:
+    data is the per-format dict (always with t_cam + image_paths, plus
+    format extras), fmt is the detected/selected format string."""
     if fmt == "auto":
         fmt = detect_sequence_format(root)
     if fmt == "euroc":
@@ -292,7 +300,8 @@ def read_depth16(path: str) -> np.ndarray:
 
     with open(path, "rb") as f:
         data = f.read()
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    if data[:8] != b"\x89PNG\r\n\x1a\n":   # explicit: asserts vanish under -O
+        raise IOError(f"{path}: not a PNG")
     pos, idat, ihdr = 8, [], None
     while pos < len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
@@ -315,6 +324,8 @@ def read_depth16(path: str) -> np.ndarray:
     prev = np.zeros(stride, np.int32)
     for y in range(h):
         ftype = raw[y * (stride + 1)]
+        if ftype > 4:
+            raise IOError(f"{path}: corrupt PNG (filter type {ftype})")
         row = np.frombuffer(
             raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
             np.uint8).astype(np.int32)
@@ -386,7 +397,8 @@ def _read_png_py(path):
 
     with open(path, "rb") as f:
         data = f.read()
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    if data[:8] != b"\x89PNG\r\n\x1a\n":   # explicit: asserts vanish under -O
+        raise IOError(f"{path}: not a PNG")
     pos, idat, ihdr = 8, [], None
     while pos < len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \

@@ -114,7 +114,8 @@ def rpe_rmse(est_R_wc, est_p_wc, gt_R_wc, gt_p_wc, delta: int = 1):
     rot_rmse [rad]). No global alignment — RPE is alignment-invariant."""
     n = len(est_p_wc) - delta
     if n <= 0:
-        return 0.0, 0.0
+        # Not computable — never report perfect drift for insufficient data.
+        return float("nan"), float("nan")
     terr = np.zeros(n)
     rerr = np.zeros(n)
     for i in range(n):

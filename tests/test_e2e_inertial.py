@@ -10,6 +10,8 @@ from rover_slam_tpu.slam import tracking as T
 from rover_slam_tpu.slam.inertial_system import MonocularInertialSLAM
 from rover_slam_tpu.utils import synthetic, trajectory
 
+pytestmark = pytest.mark.slow
+
 CALIB = pre.ImuCalib(
     Rbc=jnp.eye(3), tbc=jnp.zeros(3),
     sigma_g=jnp.float32(1.7e-4 * np.sqrt(200.0)),

@@ -13,6 +13,8 @@ from rover_slam_tpu.slam.system import MonocularSLAM
 from rover_slam_tpu.slam import tracking as T
 from rover_slam_tpu.utils import synthetic, trajectory
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def run_result():

@@ -12,6 +12,8 @@ from rover_slam_tpu.slam.inertial_system import MonocularInertialSLAM
 from rover_slam_tpu.slam.tracking import TrackerConfig
 from rover_slam_tpu.utils import synthetic, trajectory
 
+pytestmark = pytest.mark.slow
+
 # TUM-VI 512 fisheye intrinsics + IMU noise (tum_vi.yaml values).
 KB8 = np.asarray(cam_mod.make_kb8(190.978, 190.973, 254.932, 256.897,
                                   0.00348238, 0.000715034, -0.00205323,

@@ -13,6 +13,8 @@ from rover_slam_tpu.slam.stereo import (fisheye_stereo_match_kernel,
 from rover_slam_tpu.slam.tracking import TrackerConfig
 from rover_slam_tpu.utils import synthetic, trajectory
 
+pytestmark = pytest.mark.slow
+
 KB8 = np.asarray(cam_mod.make_kb8(190.978, 190.973, 254.932, 256.897,
                                   0.00348238, 0.000715034, -0.00205323,
                                   0.000202936))

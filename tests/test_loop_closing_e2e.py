@@ -9,6 +9,8 @@ from rover_slam_tpu.slam import tracking as T
 from rover_slam_tpu.slam.loop_closing import LoopConfig
 from rover_slam_tpu.utils import synthetic, trajectory
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def loop_run():

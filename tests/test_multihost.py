@@ -16,6 +16,8 @@ import pytest
 from rover_slam_tpu.optim import ba
 from tests.test_ba import make_ba_problem, pose_errors
 
+pytestmark = [pytest.mark.slow, pytest.mark.multihost]
+
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -2,6 +2,7 @@
 then recognize the old place and weld the maps (reference Atlas multi-session:
 SaveAtlas/LoadAtlas + MergeLocal)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,8 @@ from rover_slam_tpu.slam.loop_closing import (LoopCloser, LoopConfig,
                                               _merge_maps_kernel)
 from rover_slam_tpu.slam import tracking as T
 from rover_slam_tpu.utils import synthetic, trajectory
+
+pytestmark = pytest.mark.slow
 
 
 def test_merge_maps_kernel_geometry():

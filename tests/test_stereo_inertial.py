@@ -10,6 +10,8 @@ from rover_slam_tpu.slam.stereo_inertial import StereoInertialSLAM
 from rover_slam_tpu.utils import synthetic, trajectory
 from tests.test_e2e_inertial import CALIB
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def si_run():
