@@ -57,7 +57,11 @@ def triangulate_dlt(ray0: jnp.ndarray, ray1: jnp.ndarray,
     AtA = jnp.einsum("...ki,...kj->...ij", A3, A3)
     Atb = jnp.einsum("...ki,...k->...i", A3, b)
     AtA = AtA + 1e-9 * jnp.eye(3, dtype=A.dtype)
-    return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+    # Closed-form batched 3x3 solve (blockinv.py): jnp.linalg.solve on [N,3,3]
+    # stacks is a sequential loop on TPU and this runs inside the fused
+    # keyframe-insertion program.
+    from ..optim.blockinv import solve3
+    return solve3(AtA, Atb)
 
 
 def parallax_cos(ray0: jnp.ndarray, ray1_in0: jnp.ndarray) -> jnp.ndarray:

@@ -87,18 +87,27 @@ def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
 @functools.partial(jax.jit, static_argnames=("cam_kind",))
 def fuse_into_keyframe(state: ms.MapState, kf_id, cam_params,
                        cam_kind: int = cameras.PINHOLE, radius: float = 3.0,
-                       th_desc2: float = 1.44):
+                       th_desc2: float = 1.44, obs=None):
     """Per-keyframe neighborhood fusion (reference
     LocalMapping::SearchInNeighbors src/LocalMapping.cc:1048-1203 +
     SPmatcher::Fuse :49-229): project landmarks seen by covisible neighbors
     into the new keyframe; a projected landmark colliding with a keypoint that
     already holds a DIFFERENT landmark replaces/absorbs it (the more-observed
     one wins, reference MapPoint::Replace), and unmatched keypoints gain new
-    observations. Returns (state, n_fused, n_added)."""
+    observations. Returns (state, n_fused, n_added).
+
+    obs: optional precomputed observation matrix [K, L] — the fused insert
+    kernel threads one obs build through all its stages (each build is a
+    ~1.4 ms scatter on TPU); a slightly stale view only shrinks the fusion
+    candidate set by the just-triangulated points, which are observed by
+    this keyframe already and therefore never fusion candidates."""
+    from ..ops import scatterless
     K, L, N = state.K, state.L, state.N
-    obs = ms.observation_matrix(state)                     # [K, L]
+    if obs is None:
+        obs = ms.observation_matrix(state)                 # [K, L]
     W = obs @ obs.T
-    nbr = (W[kf_id] > 0).at[kf_id].set(False)              # covis neighbors
+    W = W * (1.0 - jnp.eye(K, dtype=W.dtype))
+    nbr = (W[kf_id] > 0) & (jnp.arange(K) != kf_id)        # covis neighbors
     seen_by_nbr = (nbr.astype(jnp.float32) @ obs) > 0      # [L]
     observed_here = obs[kf_id] > 0
     # Candidates: active, seen by a neighbor, NOT already observed by this KF
@@ -122,12 +131,15 @@ def fuse_into_keyframe(state: ms.MapState, kf_id, cam_params,
     keep_proj = (n_p > n_l) | ((n_p == n_l) & (pc < lc))   # total order
     winner = jnp.where(keep_proj, proj, li)
     loser = jnp.where(keep_proj, li, proj)
-    loser_c = jnp.clip(loser, 0, L - 1)
-    table = jnp.arange(L, dtype=jnp.int32).at[loser_c].set(
-        jnp.where(dup, winner, loser_c), mode="drop")
+    # Substitution table without scatters (ops/scatterless.py): per landmark,
+    # the first duplicate row naming it as loser wins.
+    table = scatterless.seg_pick(
+        jnp.where(dup, loser, -1), winner, dup, L,
+        jnp.arange(L, dtype=jnp.int32)).astype(jnp.int32)
     table = table[table]                                   # compress chains
+    killed = scatterless.seg_any(jnp.where(dup, loser, -1),
+                                 dup, L)
     state = ms.replace_landmark_ids(state, table)
-    killed = jnp.zeros((L,), bool).at[loser_c].set(dup, mode="drop")
     state = state.replace(lm_active=state.lm_active & ~killed)
 
     # --- new observations on empty keypoint slots ---
@@ -139,9 +151,18 @@ def fuse_into_keyframe(state: ms.MapState, kf_id, cam_params,
     state = state.replace(
         kf_landmark_idx=state.kf_landmark_idx.at[kf_id].set(li_new))
 
-    # Refresh observation counts after the surgery.
-    obs2 = ms.observation_matrix(state)
-    state = state.replace(lm_n_obs=jnp.sum(obs2, axis=0).astype(jnp.int32))
+    # Incremental observation-count update (the reference maintains nObs
+    # incrementally too, MapPoint::AddObservation/Replace): winners absorb
+    # the losers' counts, losers zero out, newly added observations +1.
+    gained = scatterless.seg_add(
+        jnp.where(dup, winner, -1),
+        jnp.where(dup, state.lm_n_obs[jnp.clip(loser, 0, L - 1)], 0
+                  )[:, None].astype(jnp.float32), L)[:, 0].astype(jnp.int32)
+    added = scatterless.seg_add(
+        jnp.where(add, proj2, -1),
+        jnp.ones((N, 1), jnp.float32), L)[:, 0].astype(jnp.int32)
+    lm_n_obs = jnp.where(killed, 0, state.lm_n_obs + gained + added)
+    state = state.replace(lm_n_obs=lm_n_obs)
     return state, jnp.sum(dup), jnp.sum(add)
 
 
@@ -160,16 +181,15 @@ def update_distinctive_descriptors(state: ms.MapState, kf_id) -> ms.MapState:
     t_valid = (li >= 0) & state.kf_kpt_valid[kf_id] \
         & state.lm_active[touched]
 
-    # Per-KF inverse slot table for the touched landmarks: slot of landmark
-    # touched[n] in keyframe k (or N = none).
+    # Per-KF slot of each TOUCHED landmark, by equality compare + min over
+    # slots (a [K,L] scatter-min costs ~1.5 ms on TPU; this [N,K,Nk] compare
+    # is ~20M VPU lanes — microseconds).
     li_all = state.kf_landmark_idx                        # [K, Nk]
     lm_of = jnp.where((li_all >= 0) & state.kf_kpt_valid
-                      & state.kf_active[:, None], li_all, L)
-    inv_slot = jnp.full((K, L + 1), N, jnp.int32)
-    rows = jnp.broadcast_to(jnp.arange(K)[:, None], lm_of.shape)
-    inv_slot = inv_slot.at[rows, lm_of].min(
-        jnp.broadcast_to(jnp.arange(N)[None, :], lm_of.shape))
-    slot_tk = inv_slot[:, touched].T                      # [N, K]
+                      & state.kf_active[:, None], li_all, -2)
+    eq = lm_of[None, :, :] == touched[:, None, None]      # [N, K, Nk]
+    slot_tk = jnp.min(jnp.where(eq, jnp.arange(N)[None, None, :], N),
+                      axis=2).astype(jnp.int32)           # [N, K]
     has_obs = slot_tk < N                                 # [N, K]
 
     # Gather observation descriptors [N, K, D] (pad row N -> zeros).
@@ -190,11 +210,12 @@ def update_distinctive_descriptors(state: ms.MapState, kf_id) -> ms.MapState:
     best_k = jnp.argmin(med, axis=1)                      # [N]
     new_desc = obs_desc[jnp.arange(med.shape[0]), best_k]
     write = t_valid & (jnp.min(med, axis=1) < big)
-    # Non-written slots are routed OUT OF BOUNDS (dropped) — with plain clip
-    # they would all collide on landmark 0 and could overwrite the real entry.
-    touched_w = jnp.where(write, touched, L)
-    lm_desc = state.lm_desc.at[touched_w].set(
-        new_desc.astype(state.lm_desc.dtype), mode="drop")
+    # Scatter-free row replace (ops/scatterless.py): pick per landmark the
+    # first writer, keep the old row otherwise.
+    from ..ops import scatterless
+    lm_desc = scatterless.seg_pick(
+        jnp.where(write, touched, -1), new_desc.astype(state.lm_desc.dtype),
+        write, L, state.lm_desc)
     return state.replace(lm_desc=lm_desc)
 
 
@@ -222,7 +243,7 @@ def _global_ba_single(state: ms.MapState, cam_params, cam_kind: int,
     K, N, L = state.K, state.N, state.L
     prob = _build_global_problem(state, cam_params)
     res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, cg_iters=25,
-                      solver="pcg", phases=2)
+                      solver="pcg", phases=2, kf_major=True)
     bad = (~res.e_inlier) & prob.e_valid
     li_new = jnp.where(bad.reshape(K, N), -1, state.kf_landmark_idx)
     return state.replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw,

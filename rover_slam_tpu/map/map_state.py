@@ -155,10 +155,13 @@ def add_keyframe(state: MapState, R_cw, t_cw, kpts, rays, desc, kpt_valid,
         kf_ba=setk(state.kf_ba, ba) if ba is not None else state.kf_ba,
         n_kf=jnp.where(ok, k + 1, k),
     )
-    # Count the new observations on the landmarks this KF sees.
+    # Count the new observations on the landmarks this KF sees
+    # (scatter-free segment add, ops/scatterless.py).
+    from ..ops import scatterless
     obs_lm = jnp.where(kpt_valid, landmark_idx, -1)
-    counts = jnp.zeros((state.L,), jnp.int32).at[
-        jnp.clip(obs_lm, 0, state.L - 1)].add(jnp.where(obs_lm >= 0, 1, 0))
+    counts = scatterless.seg_add(
+        obs_lm, jnp.ones((obs_lm.shape[0], 1), jnp.float32),
+        state.L)[:, 0].astype(jnp.int32)
     new = new.replace(lm_n_obs=jnp.where(ok, new.lm_n_obs + counts, new.lm_n_obs))
     return new, kc
 

@@ -79,12 +79,13 @@ def projection_match(lm_uv, lm_desc, lm_visible, f_kpts, f_desc, f_valid,
     best_lm = jnp.argmin(d2m, axis=0)                      # [N]
     lm_has = jnp.take_along_axis(d2m, best_kpt[:, None], axis=1)[:, 0] < big
     mutual = (best_lm[best_kpt] == jnp.arange(d2m.shape[0])) & lm_has
-    # Per-keypoint output table via scatter-max: non-mutual rows contribute -1
-    # (no-op), and two mutual landmarks can never share a keypoint.
-    kpt_lm = jnp.full((d2m.shape[1],), -1, jnp.int32)
-    kpt_lm = kpt_lm.at[best_kpt].max(
-        jnp.where(mutual, jnp.arange(d2m.shape[0], dtype=jnp.int32), -1),
-        mode="drop")
+    # Per-keypoint table by GATHER (scatter ops cost ~0.3+ ms each on TPU):
+    # keypoint n's landmark is best_lm[n] iff that landmark mutually picked n.
+    L = d2m.shape[0]
+    blc = jnp.clip(best_lm, 0, L - 1)
+    n_idx = jnp.arange(d2m.shape[1], dtype=jnp.int32)
+    kpt_ok = (best_kpt[blc] == n_idx) & mutual[blc]
+    kpt_lm = jnp.where(kpt_ok, best_lm.astype(jnp.int32), -1)
     return kpt_lm, mutual
 
 
@@ -109,6 +110,23 @@ def mutual_nn_match(desc0, valid0, desc1, valid1, th_desc2: float = TH_HIGH ** 2
         d_second = jnp.min(d2_no_best, axis=1)
         ok = ok & (d_best <= ratio * ratio * d_second)
     return jnp.where(ok, best1, -1).astype(jnp.int32), d_best
+
+
+def invert_matches(matches0: jnp.ndarray, n1: int) -> jnp.ndarray:
+    """Invert an (injective) match table without a scatter.
+
+    matches0 [N0] int32 with -1 for unmatched; returns matches1 [n1] int32
+    (-1 unmatched): matches1[j] = i iff matches0[i] == j.
+
+    A scatter costs ~0.3+ ms fixed on TPU; the [N0, n1] equality compare +
+    argmax is microseconds at keypoint-budget sizes and lives entirely on
+    the VPU.
+    """
+    n0 = matches0.shape[0]
+    eq = matches0[:, None] == jnp.arange(n1, dtype=matches0.dtype)[None, :]
+    inv = jnp.argmax(eq, axis=0).astype(jnp.int32)
+    has = jnp.any(eq, axis=0)
+    return jnp.where(has, inv, -1)
 
 
 def epipolar_gate(rays0, rays1, matches0, R01, t01, th: float = 0.01):

@@ -44,70 +44,9 @@ class BAProblem(NamedTuple):
     e_info: jnp.ndarray     # [E] inverse measurement variance
 
 
-def _inv3(A):
-    """Closed-form batched 3x3 inverse (adjugate) — much faster on TPU than
-    the general LAPACK-style path for [L,3,3] stacks."""
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    A11 = e * i - f * h
-    A12 = c * h - b * i
-    A13 = b * f - c * e
-    A21 = f * g - d * i
-    A22 = a * i - c * g
-    A23 = c * d - a * f
-    A31 = d * h - e * g
-    A32 = b * g - a * h
-    A33 = a * e - b * d
-    det = a * A11 + b * A21 + c * A31
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    inv = jnp.stack([
-        jnp.stack([A11, A12, A13], -1),
-        jnp.stack([A21, A22, A23], -1),
-        jnp.stack([A31, A32, A33], -1),
-    ], -2)
-    return inv / det[..., None, None]
-
-
-def _inv6(M):
-    """Closed-form batched 6x6 inverse via 3x3 block Schur complement.
-
-    TPU-critical: jnp.linalg.inv on [K,6,6] lowers to a sequential
-    LAPACK-style loop (~ms per call on TPU); this is pure vectorized 3x3
-    algebra. Requires the (damped) blocks to be SPD-ish, which LM damping
-    guarantees here."""
-    A = M[..., 0:3, 0:3]
-    B = M[..., 0:3, 3:6]
-    C = M[..., 3:6, 0:3]
-    D = M[..., 3:6, 3:6]
-    Ai = _inv3(A)
-    AiB = Ai @ B
-    S = D - C @ AiB
-    Si = _inv3(S)
-    CAi = C @ Ai
-    top_left = Ai + AiB @ Si @ CAi
-    top_right = -AiB @ Si
-    bot_left = -Si @ CAi
-    top = jnp.concatenate([top_left, top_right], axis=-1)
-    bot = jnp.concatenate([bot_left, Si], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
-
-
-def _chol3(A):
-    """Batched lower Cholesky of SPD 3x3 blocks (closed form)."""
-    eps = 1e-12
-    l11 = jnp.sqrt(jnp.maximum(A[..., 0, 0], eps))
-    l21 = A[..., 1, 0] / l11
-    l31 = A[..., 2, 0] / l11
-    l22 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l21 * l21, eps))
-    l32 = (A[..., 2, 1] - l31 * l21) / l22
-    l33 = jnp.sqrt(jnp.maximum(A[..., 2, 2] - l31 * l31 - l32 * l32, eps))
-    z = jnp.zeros_like(l11)
-    return jnp.stack([
-        jnp.stack([l11, z, z], -1),
-        jnp.stack([l21, l22, z], -1),
-        jnp.stack([l31, l32, l33], -1),
-    ], -2)
+# Closed-form small-block inverses (shared hot-path kernels; see blockinv.py
+# for why jnp.linalg.inv/solve must not appear in jitted SLAM programs).
+from .blockinv import inv3 as _inv3, inv6 as _inv6, chol3 as _chol3  # noqa: E402
 
 
 class BAResult(NamedTuple):
@@ -137,13 +76,15 @@ def _edge_terms(cam_kind, prob: BAProblem, R, t, X):
 
 @functools.partial(jax.jit,
                    static_argnames=("cam_kind", "iters", "cg_iters", "phases",
-                                    "solver", "lm_cap", "red_cg_iters"))
+                                    "solver", "lm_cap", "red_cg_iters",
+                                    "red_solver", "kf_major"))
 def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
              iters: int = 10, cg_iters: int = 20,
              chi2_th: float = robust.CHI2_MONO,
              lam0: float = 1e-4, phases: int = 2,
              solver: str = "schur", lm_cap: int | None = None,
-             red_cg_iters: int = 32) -> BAResult:
+             red_cg_iters: int = 32, red_solver: str = "cg",
+             kf_major: bool = False) -> BAResult:
     """`phases` > 1 reproduces the reference's two-phase local BA: optimize,
     hard-drop chi2 outlier edges, re-optimize (src/Optimizer.cc:2055-2130).
 
@@ -162,6 +103,13 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
       wastes HBM bandwidth). Edges to landmarks beyond the cap (or outside
       lm_opt_mask) still constrain poses — those landmarks are just held
       fixed, exactly like lm_opt_mask=False today.
+
+    kf_major: promise that the edge list is laid out keyframe-major —
+      e_kf == repeat(arange(Kw), E // Kw) (the layout _ba_window_args and
+      _build_global_problem produce). Enables scatter-free segment sums:
+      pose-side reductions become reshape-sums and landmark-side reductions
+      become one-hot MXU contractions. XLA scatters cost ~0.3-1.5 ms EACH on
+      TPU; with 5 per LM step they dominated the whole local BA.
     """
     Kw = prob.R_cw.shape[0]
     L_full = prob.lm_pos.shape[0]
@@ -185,12 +133,58 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
     pmask = prob.pose_opt_mask.astype(jnp.float32)[:, None]      # [Kw,1]
     lmask = lmask_c.astype(jnp.float32)[:, None]                 # [Lw,1]
     delta2 = chi2_th
+    E = prob.e_kf.shape[0]
 
-    def seg_c(vals):  # [E,6] -> [Kw,6]
-        return jnp.zeros((Kw, 6), vals.dtype).at[prob.e_kf].add(vals)
+    # One-hot landmark segment sums only pay off while the [E, Lw+1] f32
+    # matrix stays small (local windows: 8192x2050 = 67 MB). The global BA
+    # (E ~ 41k, Lw ~ 8k) would need >1 GB — keep scatters there.
+    use_onehot = kf_major and E * (Lw + 1) <= 32_000_000
+    if kf_major:
+        # Pose-side reductions are reshape-sums under the kf-major layout —
+        # free either way (see docstring).
+        Ne = E // Kw
 
-    def seg_l(vals):  # [E,3] -> [Lw,3] (row Lw is the fixed/overflow bucket)
-        return jnp.zeros((Lw + 1, 3), vals.dtype).at[e_lmv].add(vals)[:Lw]
+        def seg_c(vals):  # [E,x] -> [Kw,x]
+            return vals.reshape((Kw, Ne) + vals.shape[1:]).sum(axis=1)
+
+        seg_cc = seg_c
+    else:
+        def seg_c(vals):  # [E,x] -> [Kw,x]
+            return jnp.zeros((Kw,) + vals.shape[1:], vals.dtype
+                             ).at[prob.e_kf].add(vals)
+
+        seg_cc = seg_c
+    if use_onehot:
+        # Scatter-free landmark reductions (see docstring). The one-hot is
+        # built ONCE and reused by every LM step / matvec: [E, Lw+1] f32
+        # (last row = the fixed/overflow bucket). The package runs with
+        # jax_default_matmul_precision=highest, so these f32 contractions
+        # are exact segment sums.
+        oh_l = (e_lmv[:, None]
+                == jnp.arange(Lw + 1, dtype=e_lmv.dtype)[None, :]
+                ).astype(jnp.float32)                            # [E, Lw+1]
+        oh_l_k = oh_l.reshape(Kw, Ne, Lw + 1)
+
+        def seg_l(vals):  # [E,x] -> [Lw,x]
+            flat = vals.reshape(E, -1)
+            return (oh_l.T @ flat)[:Lw].reshape((Lw,) + vals.shape[1:])
+
+        seg_ll = seg_l
+
+        def seg_cross(vals):  # [E,6,3] -> [Lw,Kw,6,3] (W^T blocks)
+            v = vals.reshape(Kw, Ne, 18)
+            out = jnp.einsum("knc,knx->ckx", oh_l_k, v)          # [Lw+1,Kw,18]
+            return out[:Lw].reshape(Lw, Kw, 6, 3)
+    else:
+        def seg_l(vals):  # [E,x] -> [Lw,x] (row Lw = fixed/overflow bucket)
+            return jnp.zeros((Lw + 1,) + vals.shape[1:], vals.dtype
+                             ).at[e_lmv].add(vals)[:Lw]
+
+        seg_ll = seg_l
+
+        def seg_cross(vals):  # [E,6,3] -> [Lw,Kw,6,3]
+            return jnp.zeros((Lw + 1, Kw, 6, 3)).at[
+                e_lmv, prob.e_kf].add(vals)[:Lw]
 
     def lm_step(carry, _):
         R, t, X, lam, prev_cost = carry
@@ -205,10 +199,8 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
         g_l = seg_l(jnp.einsum("eki,ek->ei", Jl, we)) * lmask    # [Lw,3]
 
         # Block-diagonal (for damping + preconditioner).
-        Hcc = jnp.zeros((Kw, 6, 6)).at[prob.e_kf].add(
-            jnp.einsum("eki,e,ekj->eij", Jc, w, Jc))
-        Hll = jnp.zeros((Lw + 1, 3, 3)).at[e_lmv].add(
-            jnp.einsum("eki,e,ekj->eij", Jl, w, Jl))[:Lw]
+        Hcc = seg_cc(jnp.einsum("eki,e,ekj->eij", Jc, w, Jc))
+        Hll = seg_ll(jnp.einsum("eki,e,ekj->eij", Jl, w, Jl))
         dc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)               # [Kw,6]
         dl = jnp.diagonal(Hll, axis1=-2, axis2=-1)               # [Lw,3]
 
@@ -249,8 +241,7 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
             """
             n = 6 * Kw
             # Cross blocks W[l,k] = sum_e Jc^T w Jl for edges (k,l). [Lw,Kw,6,3]
-            Wt = jnp.zeros((Lw + 1, Kw, 6, 3)).at[e_lmv, prob.e_kf].add(
-                jnp.einsum("eki,e,ekj->eij", Jc, w, Jl))[:Lw]
+            Wt = seg_cross(jnp.einsum("eki,e,ekj->eij", Jc, w, Jl))
             Wt = Wt * pmask[None, :, :, None] * lmask[:, None, :, None]
             Hll_inv = Pl  # damped+masked inverse of landmark blocks
             L3 = _chol3(Hll_inv)
@@ -278,6 +269,25 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
                 return jnp.einsum("kij,kj->ki", Pr, r)
 
             b_r = rhs * pmask
+            if red_solver == "direct":
+                # Closed-form recursive inverse of the [6Kw,6Kw] reduced
+                # system (blockinv.py): O(log n) depth of vectorized matmuls
+                # instead of red_cg_iters SEQUENTIAL CG iterations — the CG
+                # loop is pure latency on TPU at this size. Jacobi-equilibrate
+                # first (f32; the damped system spans wide scales).
+                from .blockinv import invn
+                d_eq = jnp.sqrt(jnp.maximum(jnp.diagonal(Sm), 1e-12))
+                Se = Sm / d_eq[:, None] / d_eq[None, :]
+                Sei = invn(Se + 1e-7 * jnp.eye(n))
+                bv = b_r.reshape(n) / d_eq
+                y = Sei @ bv
+                # one refinement round recovers pivoted-solve accuracy
+                y = y + Sei @ (bv - Se @ y)
+                dx_c = (y / d_eq).reshape(Kw, 6) * pmask
+                dx_l = jnp.einsum(
+                    "lbc,lc->lb", Hll_inv,
+                    b_l - jnp.einsum("lkab,ka->lb", Wt, dx_c)) * lmask
+                return dx_c, dx_l
             z0 = red_pc(b_r)
             rz0 = jnp.sum(b_r * z0)
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import lie, cameras
-from . import robust
+from . import blockinv, robust
 from .vi_ba import _inertial_residual, _huber
 
 # Reference escalating mono chi2 gates per round (src/Optimizer.cc:692).
@@ -236,8 +236,11 @@ def solve_pose_inertial(prob: PoseInertialProblem,
                 + 1e-8 * jnp.eye(2 * D)
             # Jacobi equilibration for the f32 solve (info scales span ~1e10).
             d_eq = jnp.sqrt(jnp.maximum(jnp.diagonal(Hd), 1e-12))
-            y = jnp.linalg.solve(Hd / d_eq[:, None] / d_eq[None, :],
-                                 -(gm / d_eq))
+            # Closed-form recursive 30x30 solve (blockinv.py): this runs per
+            # LM iteration per FRAME in inertial mode; jnp.linalg.solve is a
+            # sequential LAPACK loop on TPU.
+            y = blockinv.solven(Hd / d_eq[:, None] / d_eq[None, :],
+                                -(gm / d_eq))
             dx = (y / d_eq).reshape(2, D)
             if anchor_fixed:
                 dx = dx.at[0].set(0.0)
@@ -275,7 +278,7 @@ def solve_pose_inertial(prob: PoseInertialProblem,
     else:
         H_aa = H[0, :, 0, :] + 1e-6 * jnp.eye(D)
         H_fa = H[1, :, 0, :]
-        marg = H_ff - H_fa @ jnp.linalg.solve(H_aa, H_fa.T)
+        marg = H_ff - H_fa @ blockinv.invn(H_aa) @ H_fa.T
     marg = 0.5 * (marg + marg.T)
 
     Ra, pa, va, bga, baa, Rf, pf, vf, bgf, baf = x

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..geometry import lie, cameras
 from . import robust
+from .blockinv import solve6
 
 
 class PoseOptResult(NamedTuple):
@@ -88,7 +89,10 @@ def pose_optimization(R_cw, t_cw, Xw, uv, valid, cam_params,
             # with our sign (e is residual, J its Jacobian): solve H dx = -b_grad
             # where gradient of 0.5 sum w e^2 is J^T w e = b. Step dx = -H^{-1} b.
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-            dx = -jnp.linalg.solve(Hd, b)
+            # Closed-form 6x6 solve: jnp.linalg.solve lowers to a sequential
+            # LAPACK loop on TPU — fatal inside this 40-iteration-per-frame
+            # scan (blockinv.py).
+            dx = -solve6(Hd, b)
             dR, dt = lie.se3_exp(dx)
             R_new = lie.normalize_rotation(dR @ R)
             t_new = dR @ t + dt

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..geometry import lie, cameras
 from ..imu import preintegration as preint
-from . import robust
+from . import blockinv, robust
 
 
 class VIBAProblem(NamedTuple):
@@ -220,7 +220,7 @@ def solve_vi_ba(prob: VIBAProblem, cam_kind: int = cameras.PINHOLE,
         dl = jnp.diagonal(Hll, axis1=-2, axis2=-1)
         Hll_d = Hll + jax.vmap(jnp.diag)(lam * jnp.maximum(dl, 1e-6))
         Hll_d = jnp.where(lmask[:, None, None] > 0, Hll_d, jnp.eye(3)[None])
-        Hll_inv = jnp.linalg.inv(Hll_d + 1e-9 * jnp.eye(3)[None])
+        Hll_inv = blockinv.inv3(Hll_d + 1e-9 * jnp.eye(3)[None])
 
         Wt = jnp.zeros((Lw, Kw, D, 3)).at[prob.e_lm, prob.e_kf].add(
             jnp.einsum("eki,ekj->eij", wJc, Jl))
@@ -242,6 +242,9 @@ def solve_vi_ba(prob: VIBAProblem, cam_kind: int = cameras.PINHOLE,
         # unequilibrated f32 solve silently zeroes the weak (bias) directions.
         d_eq = jnp.sqrt(jnp.maximum(jnp.diagonal(Hm), 1e-12))
         Hs = Hm / d_eq[:, None] / d_eq[None, :]
+        # Keyframe-rate path: keep the pivoted LAPACK solve — the welded-window
+        # system is ill-conditioned enough (cond ~1e7 after equilibration) that
+        # the closed-form recursive solve measurably slows LM convergence.
         y = jnp.linalg.solve(Hs + 1e-7 * jnp.eye(n), -(g_flat / d_eq))
         dx = (y / d_eq).reshape(Kw, D)
         dx = dx * pmask[:, None]

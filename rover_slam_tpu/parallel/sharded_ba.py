@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..geometry import lie, cameras
 from ..optim import ba as ba_mod
-from ..optim import robust
+from ..optim import blockinv, robust
 
 
 def pad_edges_to(prob: ba_mod.BAProblem, multiple: int) -> ba_mod.BAProblem:
@@ -120,8 +120,11 @@ def solve_ba_sharded(prob: ba_mod.BAProblem, mesh: Mesh,
             Hll_d = Hll + jax.vmap(jnp.diag)(lam_dl)
             Hcc_d = jnp.where(pmask[:, :, None] > 0, Hcc_d, jnp.eye(6)[None])
             Hll_d = jnp.where(lmask[:, :, None] > 0, Hll_d, jnp.eye(3)[None])
-            Pc = jnp.linalg.inv(Hcc_d + 1e-9 * jnp.eye(6)[None])
-            Pl = jnp.linalg.inv(Hll_d + 1e-9 * jnp.eye(3)[None])
+            # Closed-form batched block inverses (optim/blockinv.py):
+            # jnp.linalg.inv on [K,6,6]/[L,3,3] stacks is a sequential loop
+            # on TPU and this runs once per LM step per shard.
+            Pc = blockinv.inv6(Hcc_d + 1e-9 * jnp.eye(6)[None])
+            Pl = blockinv.inv3(Hll_d + 1e-9 * jnp.eye(3)[None])
 
             def matvec(v_c, v_l):
                 v_c = v_c * pmask

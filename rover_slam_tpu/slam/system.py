@@ -121,7 +121,11 @@ class MonocularSLAM:
                 local_map_only=self.cfg.local_map_only,
                 ext_matches=ext_matches,
                 max_depth=jnp.asarray(self.cfg.th_far_points, jnp.float32),
-                min_matches_ref_kf=self.cfg.min_matches_ref_kf)
+                min_matches_ref_kf=self.cfg.min_matches_ref_kf,
+                motion_rounds=self.cfg.motion_rounds,
+                motion_iters=self.cfg.motion_iters,
+                local_rounds=self.cfg.local_rounds,
+                local_iters=self.cfg.local_iters)
             frame.R_cw, frame.t_cw, frame.landmark_idx = R2, t2, cur_lm
 
         if self.pipeline:

@@ -54,9 +54,10 @@ class TrackerConfig:
     local_window: int = 8             # optimized KFs in local BA
     fixed_window: int = 8             # fixed anchor KFs in local BA
     # Per-phase LM iterations of the windowed local BA (x2 phases with an
-    # outlier cut between, like the reference's two-stage local BA). 3 matches
-    # 5 on tracked ATE (sweep in PROGRESS notes) at ~60% of the BA cost.
-    ba_iters: int = 3
+    # outlier cut between, like the reference's two-stage local BA). TPU
+    # sweep: 2 reaches the same steady-state cost as 3/5 (each LM step is
+    # ~3 ms of sequential latency; 2x2 = 16.6 ms vs 3x2 = 21.4 ms on-chip).
+    ba_iters: int = 2
     ba_every: int = 1  # run local BA every Nth keyframe (reference aborts LBA
                        # under queue pressure — mbAbortBA — so skipping under
                        # load is faithful; sweep: skipping costs more than it
@@ -77,6 +78,15 @@ class TrackerConfig:
     th_far_points: float = 100.0  # System.thFarPoints: discard landmarks
                                   # beyond this depth in the projection
                                   # search (reference SPmatcher.cc:1184)
+    # Per-frame pose-LM schedules (reference PoseOptimization runs 4x10 per
+    # stage on CPU, src/Optimizer.cc:280; each LM iteration is a SEQUENTIAL
+    # device step on TPU, so the schedule is a latency knob — sweep in
+    # PROGRESS notes; defaults preserve tracked ATE at ~half the track-step
+    # latency of the 2x8/3x8 schedule).
+    motion_rounds: int = 2
+    motion_iters: int = 5
+    local_rounds: int = 2
+    local_iters: int = 6
 
 
 @dataclass
@@ -116,12 +126,12 @@ def _track_motion_kernel(R0, t0, prev_lm_idx, prev_valid, lm_pos, lm_active,
     """
     N = cur_kpts.shape[0]
     L = lm_pos.shape[0]
-    # Per-current-kpt landmark id: invert matches (prev i -> cur j).
+    # Per-current-kpt landmark id: invert matches (prev i -> cur j) by
+    # compare+argmax (assoc.invert_matches — scatters are ~0.3 ms each).
     m = matches_prev_to_cur
     has = (m >= 0) & (prev_lm_idx >= 0) & prev_valid
-    lm_of_prev = jnp.where(has, prev_lm_idx, -1)
-    cur_lm = jnp.full((N,), -1, jnp.int32).at[
-        jnp.clip(m, 0, N - 1)].max(jnp.where(has, lm_of_prev, -1), mode="drop")
+    inv = assoc.invert_matches(jnp.where(has, m, -1), N)
+    cur_lm = jnp.where(inv >= 0, prev_lm_idx[jnp.clip(inv, 0, N - 1)], -1)
     lm_c = jnp.clip(cur_lm, 0, L - 1)
     ok = (cur_lm >= 0) & lm_active[lm_c] & cur_valid
     Xw = lm_pos[lm_c]
@@ -184,9 +194,9 @@ def _init_map_kernel(state: ms.MapState, f0_kpts, f0_rays, f0_desc, f0_valid,
                                 f0_kpts, f0_rays, f0_desc, f0_valid,
                                 lm_idx0, t0, parent=-1)
     # KF1 at (R_21, t21s); its keypoint j = matches01[i] observes slot[i].
-    m = jnp.clip(matches01, 0, N - 1)
-    lm_idx1 = jnp.full((N,), -1, jnp.int32).at[m].max(
-        jnp.where((matches01 >= 0) & (slots >= 0), slots, -1), mode="drop")
+    inv01 = assoc.invert_matches(
+        jnp.where((matches01 >= 0) & (slots >= 0), matches01, -1), N)
+    lm_idx1 = jnp.where(inv01 >= 0, slots[jnp.clip(inv01, 0, N - 1)], -1)
     state, k1 = ms.add_keyframe(state, R_21, t21s,
                                 f1_kpts, f1_rays, f1_desc, f1_valid,
                                 lm_idx1, t1, parent=k0)
@@ -240,7 +250,7 @@ def _local_ba_body(state: ms.MapState, window_ids, opt_mask, cam_params,
     # compacting the Schur arrays to that bound (instead of the full padded
     # table) cuts the local-BA HBM traffic ~4x.
     res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, solver="schur",
-                      lm_cap=2048)
+                      lm_cap=2048, kf_major=True)
     win = jnp.clip(window_ids, 0, state.K - 1)
     write = (opt_mask & (window_ids >= 0))
     new_R = jnp.where(write[:, None, None], res.R_cw, state.kf_R_cw[win])
@@ -321,24 +331,31 @@ def _triangulate_pair_kernel_body(state: ms.MapState, kf_new, kf_nbr,
     normals = Xw / jnp.maximum(jnp.linalg.norm(Xw, axis=-1, keepdims=True), 1e-9)
     state, slots = ms.add_landmarks(state, Xw, d_new, normals,
                                     jnp.full((N,), kf_new, jnp.int32), ok)
-    # Register observations in both KFs.
+    # Register observations in both KFs (neighbor side via gather-based
+    # match inversion — no scatter).
     li_new = jnp.where(slots >= 0, slots, state.kf_landmark_idx[kf_new])
-    li_nbr = state.kf_landmark_idx[kf_nbr].at[m].max(
-        jnp.where((slots >= 0), slots, -1), mode="drop")
+    inv_nb = assoc.invert_matches(
+        jnp.where(slots >= 0, matches, -1), N)
+    li_nbr = jnp.where(inv_nb >= 0,
+                       slots[jnp.clip(inv_nb, 0, N - 1)],
+                       state.kf_landmark_idx[kf_nbr])
     state = state.replace(kf_landmark_idx=state.kf_landmark_idx
                           .at[kf_new].set(li_new)
                           .at[kf_nbr].set(li_nbr))
     # New landmarks start with their two registering observations (the
     # reference's AddObservation bookkeeping; culling reads lm_n_obs).
-    slot_c = jnp.clip(slots, 0, state.L - 1)
-    state = state.replace(lm_n_obs=state.lm_n_obs.at[slot_c].add(
-        jnp.where(slots >= 0, 2, 0), mode="drop"))
+    from ..ops import scatterless
+    two = scatterless.seg_add(
+        slots, jnp.full((N, 1), 2.0, jnp.float32), state.L)[:, 0]
+    state = state.replace(lm_n_obs=state.lm_n_obs + two.astype(jnp.int32))
     n_new = jnp.sum(slots >= 0)
     return state, n_new
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cam_kind", "image_hw", "local_map_only"))
+                   static_argnames=("cam_kind", "image_hw", "local_map_only",
+                                    "motion_rounds", "motion_iters",
+                                    "local_rounds", "local_iters"))
 def _track_step_kernel(state: ms.MapState,
                        prev_desc, prev_valid, prev_lidx,
                        cur_kpts, cur_desc, cur_valid,
@@ -348,7 +365,9 @@ def _track_step_kernel(state: ms.MapState,
                        min_inliers_local_map, proj_radius, desc_th2,
                        ref_kf=None, local_map_only: bool = False,
                        ext_matches=None, max_depth=100.0,
-                       min_matches_ref_kf=15):
+                       min_matches_ref_kf=15,
+                       motion_rounds: int = 2, motion_iters: int = 5,
+                       local_rounds: int = 2, local_iters: int = 6):
     """ONE fused per-frame tracking program: frame-to-frame match -> motion-model
     pose opt -> local-map projection track -> pose opt.
 
@@ -373,15 +392,15 @@ def _track_step_kernel(state: ms.MapState,
         matches = ext_matches
     # --- motion-model stage ---
     has = (matches >= 0) & (prev_lidx >= 0) & prev_valid
-    cur_lm0 = jnp.full((N,), -1, jnp.int32).at[
-        jnp.clip(matches, 0, N - 1)].max(
-        jnp.where(has, prev_lidx, -1), mode="drop")
+    inv_m = assoc.invert_matches(jnp.where(has, matches, -1), N)
+    cur_lm0 = jnp.where(inv_m >= 0, prev_lidx[jnp.clip(inv_m, 0, N - 1)], -1)
     lm_c = jnp.clip(cur_lm0, 0, L - 1)
     cand_ok = (cur_lm0 >= 0) & state.lm_active[lm_c] & cur_valid
     res_m = pose_opt.pose_optimization(R_pred, t_pred, state.lm_pos[lm_c],
                                        cur_kpts, cand_ok, cam_params,
                                        cam_kind=cam_kind,
-                                       rounds=2, iters_per_round=8,
+                                       rounds=motion_rounds,
+                                       iters_per_round=motion_iters,
                                        check_cost=False)
     n_cand = jnp.sum(cand_ok.astype(jnp.int32))
     motion_ok = (n_cand >= min_matches_motion) & \
@@ -400,14 +419,15 @@ def _track_step_kernel(state: ms.MapState,
         ref_has = state.kf_kpt_valid[ref] & (ref_lidx >= 0)
         m_ref, _ = assoc.mutual_nn_match(ref_desc, ref_has,
                                          cur_desc, cur_valid, ratio=0.8)
-        lm_r = jnp.full((N,), -1, jnp.int32).at[
-            jnp.clip(m_ref, 0, N - 1)].max(
-            jnp.where((m_ref >= 0) & ref_has, ref_lidx, -1), mode="drop")
+        inv_r = assoc.invert_matches(
+            jnp.where((m_ref >= 0) & ref_has, m_ref, -1), N)
+        lm_r = jnp.where(inv_r >= 0, ref_lidx[jnp.clip(inv_r, 0, N - 1)], -1)
         lmc = jnp.clip(lm_r, 0, L - 1)
         okc = (lm_r >= 0) & state.lm_active[lmc] & cur_valid
         res_r = pose_opt.pose_optimization(
             R_pred, t_pred, state.lm_pos[lmc], cur_kpts, okc, cam_params,
-            cam_kind=cam_kind, rounds=2, iters_per_round=8, check_cost=False)
+            cam_kind=cam_kind, rounds=motion_rounds,
+            iters_per_round=motion_iters, check_cost=False)
         okr = (jnp.sum(okc.astype(jnp.int32)) >= min_matches_ref_kf) & \
             (res_r.n_inliers >= min_inliers_track)
         return (okr, res_r.R_cw, res_r.t_cw,
@@ -459,7 +479,8 @@ def _track_step_kernel(state: ms.MapState,
     res_l = pose_opt.pose_optimization(R1, t1, state.lm_pos[lm_c2],
                                        cur_kpts, ok2, cam_params,
                                        cam_kind=cam_kind,
-                                       rounds=3, iters_per_round=8,
+                                       rounds=local_rounds,
+                                       iters_per_round=local_iters,
                                        check_cost=False)
     cur_lm = jnp.where(res_l.inliers, cur_lm, -1)
     ok = res_l.n_inliers >= min_inliers_local_map
@@ -478,11 +499,12 @@ def _top_covis_for_frame(state: ms.MapState, frame_lidx, frame_valid,
     [n] result the host fetches to drive the batched learned-matcher call."""
     L = state.L
     has = (frame_lidx >= 0) & frame_valid
-    f_ind = jnp.zeros((L,), jnp.float32).at[
-        jnp.clip(frame_lidx, 0, L - 1)].max(has.astype(jnp.float32),
-                                            mode="drop")
     obs = ms.observation_matrix(state).astype(jnp.float32)   # [K, L]
-    w = obs @ f_ind
+    # Gather the frame's landmark columns instead of scattering an indicator
+    # (frame landmarks are one-per-keypoint, so the masked column sum equals
+    # the indicator matvec).
+    cols = obs[:, jnp.clip(frame_lidx, 0, L - 1)]            # [K, N]
+    w = cols @ has.astype(jnp.float32)
     w = jnp.where(state.kf_active, w, -1.0)
     wts, ids = jax.lax.top_k(w, n)
     return jnp.where(wts > 0, ids, -1).astype(jnp.int32)
@@ -511,7 +533,12 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     """
     state, kf_id = ms.add_keyframe(state, R, t, kpts, rays, desc, valid, lidx,
                                    time, parent=parent)
-    W = ms.covisibility(state)
+    # ONE observation-matrix build threads through neighbor selection AND the
+    # fusion stage (each build is a ~1.4 ms scatter on TPU; see
+    # maintenance.fuse_into_keyframe for why the slightly stale view is safe).
+    obs = ms.observation_matrix(state)
+    W = obs @ obs.T
+    W = W * (1.0 - jnp.eye(state.K, dtype=W.dtype))
     if ext_tri_ids is not None:
         ids = ext_tri_ids
         wts = W[kf_id, jnp.clip(ids, 0, state.K - 1)]
@@ -533,7 +560,8 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     # Neighborhood fusion before the BA (reference SearchInNeighbors runs
     # between CreateNewMapPoints and the local BA, src/LocalMapping.cc:156).
     from ..map import maintenance as mnt
-    state, _, _ = mnt.fuse_into_keyframe(state, kf_id, cam_params, cam_kind)
+    state, _, _ = mnt.fuse_into_keyframe(state, kf_id, cam_params, cam_kind,
+                                         obs=obs)
     # Refresh representative descriptors of the touched landmarks (reference
     # ComputeDistinctiveDescriptors in ProcessNewKeyFrame).
     state = mnt.update_distinctive_descriptors(state, kf_id)
@@ -551,8 +579,8 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
         state.lm_pos, state.lm_active, state.kf_R_cw[kf_id],
         state.kf_t_cw[kf_id], cam_params, cam_kind)
     li_kf = state.kf_landmark_idx[kf_id]
-    found_l = jnp.zeros((state.L,), bool).at[
-        jnp.clip(li_kf, 0, state.L - 1)].max(li_kf >= 0, mode="drop")
+    from ..ops import scatterless
+    found_l = scatterless.seg_any(li_kf, li_kf >= 0, state.L)
     state = mnt.update_found_visible(state, visible_l, found_l)
     state = mnt.cull_landmarks(state)
 
@@ -607,9 +635,9 @@ def _reloc_from_kf_matches(state: ms.MapState, cand_ids, ext_matches,
         cc = jnp.clip(c, 0, state.K - 1)
         kf_lidx = state.kf_landmark_idx[cc]
         has = (m >= 0) & (kf_lidx >= 0) & state.kf_kpt_valid[cc]
-        lm_of_cur = jnp.full((N,), -1, jnp.int32).at[
-            jnp.clip(m, 0, N - 1)].max(
-            jnp.where(has, kf_lidx, -1), mode="drop")
+        inv_c = assoc.invert_matches(jnp.where(has, m, -1), N)
+        lm_of_cur = jnp.where(inv_c >= 0,
+                              kf_lidx[jnp.clip(inv_c, 0, N - 1)], -1)
         lc = jnp.clip(lm_of_cur, 0, L - 1)
         ok_m = (lm_of_cur >= 0) & cur_valid & state.lm_active[lc] & (c >= 0)
         res = pnp.pnp_ransac(state.lm_pos[lc], cur_kpts, ok_m, cam_params, k,

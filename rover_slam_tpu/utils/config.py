@@ -223,7 +223,13 @@ def build_system(settings: Settings, **kw):
             # Reference KeyFrameCulling runs per keyframe
             # (src/LocalMapping.cc:1310); the fused-kernel equivalent runs on
             # a small cadence so real runs bound their map growth.
-            kf_cull_every=4)
+            kf_cull_every=4,
+            # Reference-style local-map search (Tracking::UpdateLocalKeyFrames
+            # covis neighborhood, src/Tracking.cc:4190-4444) instead of
+            # full-table projection: bounds per-frame work for long sequences
+            # and doesn't mask loop-closing behavior with continuous implicit
+            # re-localization against the whole map.
+            local_map_only=True)
     # Size the device map tables to the feature stack (N keypoint slots per
     # KF must hold every extractor output; D must match its descriptors).
     kw.setdefault("desc_dim", int(_get(settings.raw, "Extractor.descDim",
@@ -238,7 +244,18 @@ def build_system(settings: Settings, **kw):
         kw["loop_config"] = LoopConfig(
             cam_kind=settings.cam_kind,
             fix_scale=("inertial" in settings.sensor
-                       or settings.sensor in ("stereo", "rgbd")))
+                       or settings.sensor in ("stereo", "rgbd")),
+            # The reference's loop gates are calibrated to its 1024-feature
+            # budget: essential-graph covis edge weight >=100
+            # (src/Optimizer.cc:4551), >=200 projection matches in the
+            # hypothesis re-verification (src/LoopClosing.cc:1482), >=20 BoW
+            # matches / Sim3 inliers (:1170,1390). At nFeatures=1024 these
+            # reproduce the reference constants exactly; smaller synthetic
+            # budgets scale proportionally (floored to stay meaningful).
+            min_covis_weight=max(20, min(100, n_feat * 100 // 1024)),
+            min_proj_verify=max(25, min(200, n_feat * 200 // 1024)),
+            min_bow_matches=max(15, min(20, n_feat * 20 // 1024)),
+            min_sim3_inliers=max(15, min(20, n_feat * 20 // 1024)))
     if settings.sensor == "monocular":
         slam = MonocularSLAM(settings.cam_params, config=cfg, **kw)
     elif settings.sensor == "monocular-inertial":

@@ -11,12 +11,13 @@ is the Examples/ mains + evaluate_ate_scale.py protocol
 """
 import json
 import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 import yaml
 
-from rover_slam_tpu.apps import run_euroc
 from rover_slam_tpu.utils import synthetic as syn
 
 pytestmark = pytest.mark.slow
@@ -60,8 +61,17 @@ def _run(root, sp, gt, sensor, tmp_path, max_frames=None):
             "--gt", gt, "--stats-out", stats_p]
     if max_frames:
         argv += ["--max-frames", str(max_frames)]
-    rc = run_euroc.main(argv)
-    assert rc == 0
+    # Run the CLI in a SUBPROCESS (it is a CLI, after all): isolates each
+    # photometric drive from the suite's accumulated in-process XLA state —
+    # a deterministic XLA:CPU compiler segfault fires when this exact program
+    # is compiled after the ~140-test prefix in one process.
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "rover_slam_tpu.apps.run_euroc"] + argv,
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
     with open(stats_p) as f:
         return json.load(f)
 
