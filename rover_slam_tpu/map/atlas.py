@@ -78,6 +78,9 @@ def load_atlas(path: str, verify: bool = True) -> ms.MapState:
                 f"atlas checksum mismatch: {digest} != {meta['sha256']}")
     data = np.load(path)
     kwargs = {k: jnp.asarray(data[k]) for k in data.files}
+    # Forward-compat: scalar counters added after a checkpoint was written
+    # default to zero (array fields are structural and must be present).
+    kwargs.setdefault("lm_dropped", jnp.zeros((), jnp.int32))
     return ms.MapState(**kwargs)
 
 

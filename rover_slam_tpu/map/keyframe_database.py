@@ -76,6 +76,28 @@ def db_add(db: KeyFrameDB, kf_id, desc, valid) -> KeyFrameDB:
                        active=db.active.at[kf_id].set(True))
 
 
+@jax.jit
+def db_build_from_state(db: KeyFrameDB, kf_desc, kf_kpt_valid,
+                        kf_active) -> KeyFrameDB:
+    """Rebuild the whole database from a (loaded) map state in one vmapped
+    pass — the reference's LoadAtlas rebuilds the inverted file so a resumed
+    session can place-recognize against the loaded map
+    (src/System.cc:156-206 / KeyFrameDatabase reconstruction)."""
+    tf = jax.vmap(lambda d, v: bow_transform(db.vocab, d.astype(jnp.float32),
+                                             v))(kf_desc, kf_kpt_valid)
+    return db._replace(tf=jnp.where(kf_active[:, None], tf, 0.0),
+                       active=kf_active)
+
+
+@jax.jit
+def db_permute(db: KeyFrameDB, old_of_new, new_live) -> KeyFrameDB:
+    """Follow a map-slot compaction (map_state.compact_map): keyframe k's tf
+    row moves with its slot. old_of_new [K] gather indices, new_live [K]."""
+    return db._replace(
+        tf=jnp.where(new_live[:, None], db.tf[old_of_new], 0.0),
+        active=new_live & db.active[old_of_new])
+
+
 @functools.partial(jax.jit, static_argnames=("n_best",))
 def detect_candidates(db: KeyFrameDB, query_tf, covis_W, query_kf,
                       connected_mask, n_best: int = 4):

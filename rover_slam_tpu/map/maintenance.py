@@ -34,9 +34,16 @@ def cull_landmarks(state: ms.MapState, min_found_ratio: float = 0.05,
     return ms.remove_landmarks(state, kill)
 
 
-@jax.jit
 def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
                    min_kept_obs: int = 3):
+    """Compatibility wrapper: (state, n_culled). See cull_keyframes_ex."""
+    state, n, _ = cull_keyframes_ex(state, redundancy, min_kept_obs)
+    return state, n
+
+
+@jax.jit
+def cull_keyframes_ex(state: ms.MapState, redundancy: float = 0.9,
+                      min_kept_obs: int = 3):
     """Deactivate redundant keyframes: >= `redundancy` of their landmarks are
     observed by >= min_kept_obs other keyframes (reference KeyFrameCulling,
     src/LocalMapping.cc:1310-1504). Keyframes 0/1 (origin) and the newest are
@@ -48,7 +55,15 @@ def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
     done by pointer-jumping so whole culled CHAINS resolve in one fused
     kernel (log2 K hops instead of the reference's per-KF mutex dance) —
     keeping the spanning tree connected for the essential graph. Landmark
-    observation counts are decremented. Returns (state, n_culled)."""
+    observation counts are decremented.
+
+    Returns (state, n_culled, redirect) where redirect =
+    (cull_mask [K], surviving_parent [K] int32, R_cp [K,3,3], t_cp [K,3]):
+    for each culled keyframe, its first surviving spanning-tree ancestor and
+    the relative pose T_cp = T_cw * T_pw^-1 frozen at cull time — what the
+    reference stores as mTcp in KeyFrame::SetBadFlag (src/KeyFrame.cc:719)
+    so trajectory reconstitution can chain through erased reference
+    keyframes (System::SaveTrajectoryEuRoC src/System.cc:730-1124)."""
     K, L = state.K, state.L
     obs = ms.observation_matrix(state)            # [K, L]
     lm_obs_count = jnp.sum(obs, axis=0)           # [L]
@@ -61,6 +76,40 @@ def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
     protect = (jnp.arange(K) <= 1) | (jnp.arange(K) >= state.n_kf - 2) \
         | has_loop_edge
     cull = state.kf_active & (frac > redundancy) & ~protect & (n_own > 0)
+    return _apply_kf_cull(state, cull, obs)
+
+
+@functools.partial(jax.jit, static_argnames=("n_free", "protect_recent"))
+def cull_oldest_ex(state: ms.MapState, n_free: int = 4,
+                   protect_recent: int = 8):
+    """Capacity-pressure fallback: deactivate the OLDEST active-map keyframes
+    (sliding-window shedding) when redundancy-based culling cannot free any
+    slot — e.g. pure forward motion where nothing is ever re-observed.
+
+    No reference counterpart (its maps grow without bound,
+    /root/reference/src/Map.cc); a fixed-capacity device table must bound its
+    working set, and for never-revisited territory the oldest keyframes are
+    the least useful. Loop-edge endpoints, stored-map keyframes (they await a
+    place-recognition merge) and the newest `protect_recent` are protected.
+    Returns (state, n_culled, redirect) like cull_keyframes_ex."""
+    K = state.K
+    act = state.kf_active & (state.kf_map_id == state.active_map_id)
+    has_loop_edge = jnp.any(state.kf_loop_edges, axis=1)
+    rank = jnp.cumsum(act.astype(jnp.int32)) - 1
+    n_act = jnp.sum(act.astype(jnp.int32))
+    recent = rank >= n_act - protect_recent
+    cand = act & ~has_loop_edge & ~recent
+    crank = jnp.cumsum(cand.astype(jnp.int32)) - 1
+    cull = cand & (crank < n_free)
+    obs = ms.observation_matrix(state)
+    return _apply_kf_cull(state, cull, obs)
+
+
+def _apply_kf_cull(state: ms.MapState, cull, obs):
+    """Shared keyframe-removal surgery (reference KeyFrame::SetBadFlag
+    /root/reference/src/KeyFrame.cc:719-963): spanning-tree re-parenting,
+    observation-count decrement, redirect record."""
+    K, L = state.K, state.L
     # Spanning-tree surgery: re-parent through culled ancestors.
     # parent'[j] = first non-culled ancestor of j. Pointer-jumping: K is a
     # power-of-two-ish capacity, ceil(log2(K)) hops suffice for any chain.
@@ -71,6 +120,17 @@ def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
     for _ in range(n_hops):
         pp = parent[jnp.clip(parent, 0, K - 1)]
         parent = jnp.where(culled_at(parent), pp, parent)
+    # Redirect record for trajectory reconstitution (reference mTcp): each
+    # culled keyframe's pose relative to its first SURVIVING ancestor, frozen
+    # now. For root-chain culls with no surviving ancestor the mask ends the
+    # chain (-1).
+    surv = jnp.where(culled_at(parent), -1, parent)        # [K]
+    sc = jnp.clip(surv, 0, K - 1)
+    R_pw, t_pw = state.kf_R_cw[sc], state.kf_t_cw[sc]
+    # T_cp = T_cw * T_pw^-1:  R_cp = R_cw R_pw^T, t_cp = t_cw - R_cp t_pw
+    R_cp = jnp.einsum("kij,klj->kil", state.kf_R_cw, R_pw)
+    t_cp = state.kf_t_cw - jnp.einsum("kij,kj->ki", R_cp, t_pw)
+    redirect = (cull, jnp.where(cull, surv, -1), R_cp, t_cp)
     # A culled keyframe's own parent pointer is cleared.
     parent = jnp.where(cull, -1, parent)
     # Decrement landmark observation counts for the dropped observations.
@@ -81,7 +141,7 @@ def cull_keyframes(state: ms.MapState, redundancy: float = 0.9,
     state = state.replace(kf_active=state.kf_active & ~cull,
                           kf_landmark_idx=li, kf_parent=parent,
                           lm_n_obs=lm_n_obs)
-    return state, jnp.sum(cull)
+    return state, jnp.sum(cull), redirect
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind",))
@@ -154,10 +214,20 @@ def fuse_into_keyframe(state: ms.MapState, kf_id, cam_params,
     # Incremental observation-count update (the reference maintains nObs
     # incrementally too, MapPoint::AddObservation/Replace): winners absorb
     # the losers' counts, losers zero out, newly added observations +1.
+    # The absorbed count is DEDUPED against keyframes already observing the
+    # winner (reference MapPoint::Replace only transfers observations for
+    # keyframes not already observing the winner) — without this a keyframe
+    # seeing both gets double-counted and the error feeds cull_landmarks'
+    # min-obs gate. Residual drift from fusion chains is reconciled by the
+    # exact recount on the keyframe-insert cadence (recount_lm_obs).
+    w_c = jnp.clip(winner, 0, L - 1)
+    l_c = jnp.clip(loser, 0, L - 1)
+    overlap = jnp.einsum("kn,kn->n", obs[:, w_c], obs[:, l_c])
+    absorbed = jnp.maximum(
+        state.lm_n_obs[l_c].astype(jnp.float32) - overlap, 0.0)
     gained = scatterless.seg_add(
         jnp.where(dup, winner, -1),
-        jnp.where(dup, state.lm_n_obs[jnp.clip(loser, 0, L - 1)], 0
-                  )[:, None].astype(jnp.float32), L)[:, 0].astype(jnp.int32)
+        jnp.where(dup, absorbed, 0.0)[:, None], L)[:, 0].astype(jnp.int32)
     added = scatterless.seg_add(
         jnp.where(add, proj2, -1),
         jnp.ones((N, 1), jnp.float32), L)[:, 0].astype(jnp.int32)
@@ -167,13 +237,33 @@ def fuse_into_keyframe(state: ms.MapState, kf_id, cam_params,
 
 
 @jax.jit
-def update_distinctive_descriptors(state: ms.MapState, kf_id) -> ms.MapState:
+def recount_lm_obs(state: ms.MapState) -> ms.MapState:
+    """Exact landmark observation counts = column sums of the observation
+    matrix. Run on the keyframe-insert cadence to reconcile any drift the
+    incremental updates accumulate through fusion chains (advisor finding:
+    table[table] chain compression can credit an absorbed count to a landmark
+    that is itself absorbed in the same pass)."""
+    obs = ms.observation_matrix(state)
+    return state.replace(lm_n_obs=jnp.sum(obs, axis=0).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_obs_kfs",))
+def update_distinctive_descriptors(state: ms.MapState, kf_id,
+                                   n_obs_kfs: int = 12) -> ms.MapState:
     """Recompute the representative descriptor of every landmark observed by
     keyframe kf_id as the observation descriptor with the minimum MEDIAN
-    L2 distance to all other observations of that landmark (reference
+    L2 distance to the other observations of that landmark (reference
     MapPoint::ComputeDistinctiveDescriptors, src/MapPoint.cc:438 — run per
-    keyframe by LocalMapping::ProcessNewKeyFrame)."""
+    keyframe by LocalMapping::ProcessNewKeyFrame).
+
+    Observations are taken from kf_id + its top (n_obs_kfs-1) covisible
+    keyframes rather than the whole table: the candidate set stays O(N*O*Nk)
+    regardless of the keyframe capacity (at K=512 the full [N,K,Nk] compare
+    and [N,K,K] pairwise matrices would be gigabytes), and a landmark touched
+    by kf_id has nearly all its observations inside that covis neighborhood
+    by construction."""
     K, L, N = state.K, state.L, state.N
+    O = min(n_obs_kfs, K)     # tiny test maps: cap at the table size
     D = state.lm_desc.shape[1]
     # Landmarks touched by this KF (<= N of them).
     li = state.kf_landmark_idx[kf_id]
@@ -181,31 +271,39 @@ def update_distinctive_descriptors(state: ms.MapState, kf_id) -> ms.MapState:
     t_valid = (li >= 0) & state.kf_kpt_valid[kf_id] \
         & state.lm_active[touched]
 
-    # Per-KF slot of each TOUCHED landmark, by equality compare + min over
-    # slots (a [K,L] scatter-min costs ~1.5 ms on TPU; this [N,K,Nk] compare
-    # is ~20M VPU lanes — microseconds).
-    li_all = state.kf_landmark_idx                        # [K, Nk]
-    lm_of = jnp.where((li_all >= 0) & state.kf_kpt_valid
-                      & state.kf_active[:, None], li_all, -2)
-    eq = lm_of[None, :, :] == touched[:, None, None]      # [N, K, Nk]
-    slot_tk = jnp.min(jnp.where(eq, jnp.arange(N)[None, None, :], N),
-                      axis=2).astype(jnp.int32)           # [N, K]
-    has_obs = slot_tk < N                                 # [N, K]
+    # Observer candidate set: kf_id + top covisible neighbors.
+    W = ms.covisibility(state)
+    nbr_ids, nbr_w = ms.best_covisible(W, kf_id, O - 1)
+    obs_kfs = jnp.concatenate([kf_id[None].astype(jnp.int32), nbr_ids])
+    obs_ok = jnp.concatenate([jnp.ones((1,), bool), nbr_ids >= 0])
+    ok_c = jnp.clip(obs_kfs, 0, K - 1)
 
-    # Gather observation descriptors [N, K, D] (pad row N -> zeros).
+    # Per-observer slot of each TOUCHED landmark, by equality compare + min
+    # over slots ([N, O, Nk] lanes — bounded by the covis cap, not K).
+    li_all = state.kf_landmark_idx[ok_c]                  # [O, Nk]
+    lm_of = jnp.where((li_all >= 0) & state.kf_kpt_valid[ok_c]
+                      & (state.kf_active[ok_c] & obs_ok)[:, None],
+                      li_all, -2)
+    eq = lm_of[None, :, :] == touched[:, None, None]      # [N, O, Nk]
+    slot_tk = jnp.min(jnp.where(eq, jnp.arange(N)[None, None, :], N),
+                      axis=2).astype(jnp.int32)           # [N, O]
+    has_obs = slot_tk < N                                 # [N, O]
+
+    # Gather observation descriptors [N, O, D] (pad row N -> zeros).
     desc_pad = jnp.concatenate(
-        [state.kf_desc, jnp.zeros((K, 1, D), state.kf_desc.dtype)], axis=1)
-    obs_desc = desc_pad[jnp.arange(K)[None, :],
+        [state.kf_desc[ok_c], jnp.zeros((O, 1, D), state.kf_desc.dtype)],
+        axis=1)
+    obs_desc = desc_pad[jnp.arange(O)[None, :],
                         jnp.clip(slot_tk, 0, N)].astype(jnp.float32)
 
-    # Pairwise L2^2 among observations of each landmark: [N, K, K].
+    # Pairwise L2^2 among observations of each landmark: [N, O, O].
     d2 = (jnp.sum(obs_desc ** 2, -1)[:, :, None]
           + jnp.sum(obs_desc ** 2, -1)[:, None, :]
           - 2.0 * jnp.einsum("nkd,nqd->nkq", obs_desc, obs_desc))
     big = jnp.float32(1e9)
     pair_ok = has_obs[:, :, None] & has_obs[:, None, :]
     d2 = jnp.where(pair_ok, jnp.maximum(d2, 0.0), jnp.nan)
-    med = jnp.nanmedian(d2, axis=2)                       # [N, K]
+    med = jnp.nanmedian(d2, axis=2)                       # [N, O]
     med = jnp.where(has_obs, med, big)
     best_k = jnp.argmin(med, axis=1)                      # [N]
     new_desc = obs_desc[jnp.arange(med.shape[0]), best_k]
@@ -220,7 +318,7 @@ def update_distinctive_descriptors(state: ms.MapState, kf_id) -> ms.MapState:
 
 
 @jax.jit
-def _build_global_problem(state: ms.MapState, cam_params):
+def _build_global_problem(state: ms.MapState, cam_params, bf=None):
     K, N, L = state.K, state.N, state.L
     li = state.kf_landmark_idx
     kv = state.kf_kpt_valid & state.kf_active[:, None]
@@ -234,14 +332,16 @@ def _build_global_problem(state: ms.MapState, cam_params):
         cam_params=cam_params,
         e_kf=e_kf.astype(jnp.int32), e_lm=e_lm.astype(jnp.int32),
         e_uv=state.kf_kpts.reshape(-1, 2), e_valid=e_valid,
-        e_info=jnp.ones((K * N,), jnp.float32))
+        e_info=jnp.ones((K * N,), jnp.float32),
+        e_invd=(None if bf is None else state.kf_kpt_invd.reshape(-1)),
+        bf=bf)
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))
 def _global_ba_single(state: ms.MapState, cam_params, cam_kind: int,
-                      iters: int) -> ms.MapState:
+                      iters: int, bf=None) -> ms.MapState:
     K, N, L = state.K, state.N, state.L
-    prob = _build_global_problem(state, cam_params)
+    prob = _build_global_problem(state, cam_params, bf=bf)
     res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, cg_iters=25,
                       solver="pcg", phases=2, kf_major=True)
     bad = (~res.e_inlier) & prob.e_valid
@@ -251,7 +351,7 @@ def _global_ba_single(state: ms.MapState, cam_params, cam_kind: int,
 
 
 def global_ba(state: ms.MapState, cam_params, cam_kind: int = cameras.PINHOLE,
-              iters: int = 10, mesh=None) -> ms.MapState:
+              iters: int = 10, mesh=None, bf=None) -> ms.MapState:
     """Full-map bundle adjustment (reference GlobalBundleAdjustemnt — 10 iters
     after a loop closure, run in a detached thread; here one device program
     over every active keyframe/landmark using the PCG solver).
@@ -265,7 +365,7 @@ def global_ba(state: ms.MapState, cam_params, cam_kind: int = cameras.PINHOLE,
     edge-partitioning is host-side, so this branch runs outside jit.)"""
     if mesh is None or mesh.devices.size <= 1:
         return _global_ba_single(state, cam_params, cam_kind=cam_kind,
-                                 iters=iters)
+                                 iters=iters, bf=bf)
     from ..parallel import sharded_ba
     L = state.L
     prob = _build_global_problem(state, cam_params)

@@ -44,6 +44,15 @@ class MapState:
     kf_rays: jnp.ndarray        # [K,N,3] unprojected bearing rays (z=1 scale)
     kf_desc: jnp.ndarray        # [K,N,D] descriptors
     kf_kpt_valid: jnp.ndarray   # [K,N] bool
+    kf_kpt_invd: jnp.ndarray    # [K,N] stereo inverse depth of the keypoint
+                                # (-1 = mono / no right-eye match). Carries the
+                                # metric stereo observation into every solver:
+                                # the reference's 3-dim (uL,vL,uR) edges store
+                                # u_R = u_L - bf*invd (EdgeStereoSE3ProjectXYZ,
+                                # include/G2oTypes.h:497-575); inverse depth is
+                                # the camera-model-agnostic form (KB8 rigs get
+                                # a weighted inverse-depth residual instead of
+                                # the rectified-disparity identity).
     kf_landmark_idx: jnp.ndarray  # [K,N] int32, -1 = no landmark
     kf_active: jnp.ndarray      # [K] bool
     kf_map_id: jnp.ndarray      # [K] int32
@@ -66,6 +75,9 @@ class MapState:
     n_kf: jnp.ndarray           # scalar int32: next free keyframe slot
     n_lm: jnp.ndarray           # scalar int32: next free landmark slot
     active_map_id: jnp.ndarray  # scalar int32
+    lm_dropped: jnp.ndarray     # scalar int32: landmarks lost to capacity
+                                # overflow (observability: a real sequence must
+                                # compact before this ever becomes nonzero)
 
     @property
     def K(self):
@@ -96,6 +108,7 @@ def empty_map(K: int = 256, N: int = 1024, L: int = 16384, D: int = 256,
         kf_rays=jnp.zeros((K, N, 3), f),
         kf_desc=jnp.zeros((K, N, D), desc_dtype),
         kf_kpt_valid=jnp.zeros((K, N), bool),
+        kf_kpt_invd=jnp.full((K, N), -1.0, f),
         kf_landmark_idx=jnp.full((K, N), -1, jnp.int32),
         kf_active=jnp.zeros((K,), bool),
         kf_map_id=jnp.zeros((K,), jnp.int32),
@@ -114,6 +127,7 @@ def empty_map(K: int = 256, N: int = 1024, L: int = 16384, D: int = 256,
         n_kf=jnp.zeros((), jnp.int32),
         n_lm=jnp.zeros((), jnp.int32),
         active_map_id=jnp.zeros((), jnp.int32),
+        lm_dropped=jnp.zeros((), jnp.int32),
     )
 
 
@@ -123,7 +137,8 @@ def empty_map(K: int = 256, N: int = 1024, L: int = 16384, D: int = 256,
 
 def add_keyframe(state: MapState, R_cw, t_cw, kpts, rays, desc, kpt_valid,
                  landmark_idx, time, R_wb=None, p_wb=None, v_wb=None,
-                 bg=None, ba=None, parent=None) -> tuple[MapState, jnp.ndarray]:
+                 bg=None, ba=None, parent=None,
+                 kpt_invd=None) -> tuple[MapState, jnp.ndarray]:
     """Insert a keyframe at the next free slot. Returns (new_state, kf_id).
 
     If capacity is full the write is dropped (caller checks n_kf < K on host —
@@ -143,6 +158,9 @@ def add_keyframe(state: MapState, R_cw, t_cw, kpts, rays, desc, kpt_valid,
         kf_rays=setk(state.kf_rays, rays),
         kf_desc=setk(state.kf_desc, desc.astype(state.kf_desc.dtype)),
         kf_kpt_valid=setk(state.kf_kpt_valid, kpt_valid),
+        kf_kpt_invd=setk(state.kf_kpt_invd,
+                         kpt_invd if kpt_invd is not None
+                         else jnp.full((state.N,), -1.0, jnp.float32)),
         kf_landmark_idx=setk(state.kf_landmark_idx, landmark_idx),
         kf_time=setk(state.kf_time, time),
         kf_active=setk(state.kf_active, ok),
@@ -202,6 +220,11 @@ def add_landmarks(state: MapState, positions, descs, normals, anchor_kf,
             jnp.where(write, 0, state.lm_n_obs[slot_c])),
         n_lm=jnp.minimum(state.n_lm + jnp.sum(valid_mask.astype(jnp.int32)),
                          state.L),
+        # Count capacity overflow so a full sequence can never LOSE landmarks
+        # silently (the caller compacts the table before this trips; the
+        # reference recycles by deletion, MapPoint erase semantics).
+        lm_dropped=state.lm_dropped + jnp.sum(
+            (valid_mask & ~in_cap).astype(jnp.int32)),
     )
     return new, slots
 
@@ -262,6 +285,124 @@ def replace_landmark_ids(state: MapState, old_to_new: jnp.ndarray) -> MapState:
     li = state.kf_landmark_idx
     mapped = jnp.where(li >= 0, old_to_new[jnp.clip(li, 0, state.L - 1)], li)
     return state.replace(kf_landmark_idx=mapped)
+
+
+# ---------------------------------------------------------------------------
+# Slot compaction (capacity recycling)
+# ---------------------------------------------------------------------------
+
+def _pack_indices(keep: jnp.ndarray):
+    """Order-preserving pack of the True slots of `keep` [n].
+
+    Returns (old_of_new [n] int32 gather indices (0-padded past the count),
+             new_live [n] bool, old2new [n] int32 with -1 for dropped)."""
+    n = keep.shape[0]
+    cnt = jnp.cumsum(keep.astype(jnp.int32))
+    old2new = jnp.where(keep, cnt - 1, -1).astype(jnp.int32)
+    old_of_new = jnp.nonzero(keep, size=n, fill_value=0)[0].astype(jnp.int32)
+    new_live = jnp.arange(n) < cnt[-1]
+    return old_of_new, new_live, old2new
+
+
+@jax.jit
+def compact_map(state: MapState):
+    """Pack active keyframes/landmarks to the front of their tables, freeing
+    the slots of culled entries for reuse.
+
+    The reference recycles capacity by DELETING objects (KeyFrame::SetBadFlag
+    src/KeyFrame.cc:719, MapPoint erase in MapPointCulling
+    src/LocalMapping.cc:462-505); with fixed-shape device tables the
+    equivalent is a periodic permutation gather that remaps every index
+    reference. The pack is ORDER-PRESERVING, so every temporal-ordering
+    invariant (newest keyframe = n_kf-1, kf_time monotone, temporal VI
+    windows) survives renumbering.
+
+    Landmarks whose anchor keyframe was culled are re-anchored to their first
+    surviving observer (the reference re-anchors via the observation map);
+    landmarks with no surviving observer at all are dropped.
+
+    Returns (new_state, kf_old2new [K] int32 (-1 = dropped),
+             lm_old2new [L] int32 (-1 = dropped)).
+    """
+    K, L, N = state.K, state.L, state.N
+    kf_of, kf_live, kf_o2n = _pack_indices(state.kf_active)
+
+    # Landmark keep-set: active AND has a surviving anchor (re-anchored to the
+    # first surviving observing keyframe when the original anchor was culled).
+    obs = observation_matrix(state)                        # [K, L]
+    has_obs = jnp.any(obs > 0, axis=0)
+    first_obs = jnp.argmax(obs > 0, axis=0).astype(jnp.int32)
+    anc = state.lm_anchor_kf
+    anc_ok = (anc >= 0) & (kf_o2n[jnp.clip(anc, 0, K - 1)] >= 0)
+    anc_res = jnp.where(anc_ok, anc,
+                        jnp.where(has_obs, first_obs, -1))
+    lm_keep = state.lm_active & (anc_res >= 0)
+    lm_of, lm_live, lm_o2n = _pack_indices(lm_keep)
+
+    def gk(arr, fill=None):
+        g = arr[kf_of]
+        if fill is None:
+            return g
+        m = kf_live.reshape((K,) + (1,) * (arr.ndim - 1))
+        return jnp.where(m, g, fill)
+
+    def gl(arr, fill=None):
+        g = arr[lm_of]
+        if fill is None:
+            return g
+        m = lm_live.reshape((L,) + (1,) * (arr.ndim - 1))
+        return jnp.where(m, g, fill)
+
+    # Keyframe-side index references.
+    li = state.kf_landmark_idx[kf_of]                      # old lm ids
+    li_new = jnp.where(li >= 0, lm_o2n[jnp.clip(li, 0, L - 1)], -1)
+    li_new = jnp.where(kf_live[:, None], li_new, -1)
+    par = state.kf_parent[kf_of]
+    par_new = jnp.where(par >= 0, kf_o2n[jnp.clip(par, 0, K - 1)], -1)
+    par_new = jnp.where(kf_live, par_new, -1)
+    loops = state.kf_loop_edges[kf_of][:, kf_of]
+    loops = loops & kf_live[:, None] & kf_live[None, :]
+
+    # Landmark-side index references.
+    anc_new = jnp.where(lm_live, kf_o2n[jnp.clip(anc_res[lm_of], 0, K - 1)], -1)
+    fkf = state.lm_first_kf[lm_of]
+    fkf_new = jnp.where(fkf >= 0, kf_o2n[jnp.clip(fkf, 0, K - 1)], 0)
+    fkf_new = jnp.where(lm_live, jnp.maximum(fkf_new, 0), -1)
+
+    new = state.replace(
+        kf_R_cw=gk(state.kf_R_cw), kf_t_cw=gk(state.kf_t_cw),
+        kf_R_wb=gk(state.kf_R_wb), kf_p_wb=gk(state.kf_p_wb),
+        kf_v_wb=gk(state.kf_v_wb), kf_bg=gk(state.kf_bg),
+        kf_ba=gk(state.kf_ba), kf_time=gk(state.kf_time),
+        kf_kpts=gk(state.kf_kpts), kf_rays=gk(state.kf_rays),
+        kf_desc=gk(state.kf_desc),
+        kf_kpt_valid=gk(state.kf_kpt_valid, False),
+        kf_kpt_invd=gk(state.kf_kpt_invd, -1.0),
+        kf_landmark_idx=li_new,
+        kf_active=kf_live & gk(state.kf_active),
+        kf_map_id=gk(state.kf_map_id),
+        kf_parent=par_new,
+        kf_loop_edges=loops,
+        lm_pos=gl(state.lm_pos), lm_desc=gl(state.lm_desc),
+        lm_normal=gl(state.lm_normal),
+        lm_active=lm_live & gl(lm_keep),
+        lm_map_id=gl(state.lm_map_id),
+        lm_anchor_kf=anc_new,
+        lm_n_obs=gl(state.lm_n_obs, 0),
+        lm_found=gl(state.lm_found, 1),
+        lm_visible=gl(state.lm_visible, 1),
+        lm_first_kf=fkf_new,
+        n_kf=jnp.sum(state.kf_active.astype(jnp.int32)),
+        n_lm=jnp.sum(lm_keep.astype(jnp.int32)),
+    )
+    return new, kf_o2n, lm_o2n
+
+
+@jax.jit
+def remap_landmark_refs(lidx: jnp.ndarray, lm_old2new: jnp.ndarray):
+    """Remap a frame's per-keypoint landmark ids through a compaction table."""
+    L = lm_old2new.shape[0]
+    return jnp.where(lidx >= 0, lm_old2new[jnp.clip(lidx, 0, L - 1)], -1)
 
 
 def compute_normals_and_depths(state: MapState) -> MapState:

@@ -42,6 +42,19 @@ class BAProblem(NamedTuple):
     e_uv: jnp.ndarray       # [E,2] measured pixels
     e_valid: jnp.ndarray    # [E] bool
     e_info: jnp.ndarray     # [E] inverse measurement variance
+    # Stereo observations (None = mono problem): per-edge measured inverse
+    # depth (<=0 where the keypoint has no right-eye match) and bf =
+    # baseline*fx. Edges with e_invd>0 become the reference's 3-dim
+    # (u_L, v_L, u_R) stereo edges with chi2 gate 7.815
+    # (EdgeStereoSE3ProjectXYZ, include/G2oTypes.h:497-575): for rectified
+    # pinhole the third residual is exactly u_R - u_R_hat = r_u +
+    # bf*(invd_meas - 1/z_hat); for fisheye (KB8) the rectified identity
+    # does not hold and the third residual is the pure weighted
+    # inverse-depth term bf*(invd_meas - 1/z_hat) (right-cam constraint in
+    # disparity form — design-divergent from the reference's explicit
+    # right-camera reprojection edges, same metric content).
+    e_invd: jnp.ndarray = None   # [E] or None
+    bf: jnp.ndarray = None       # scalar
 
 
 # Closed-form small-block inverses (shared hot-path kernels; see blockinv.py
@@ -60,7 +73,9 @@ class BAResult(NamedTuple):
 
 def _edge_terms(cam_kind, prob: BAProblem, R, t, X):
     """Residuals and Jacobians for every edge.
-    Returns e [E,2], Jc [E,2,6], Jl [E,2,3], depth [E]."""
+    Returns e [E,D], Jc [E,D,6], Jl [E,D,3], depth [E] — D=2 for mono
+    problems, D=3 when the problem carries stereo observations (the third
+    row is masked to zero for mono edges; see BAProblem.e_invd)."""
     Re = R[prob.e_kf]
     te = t[prob.e_kf]
     Xe = X[prob.e_lm]
@@ -68,9 +83,21 @@ def _edge_terms(cam_kind, prob: BAProblem, R, t, X):
     uv_hat = cameras.project(cam_kind, prob.cam_params, Xc)
     e = prob.e_uv - uv_hat
     Jproj = cameras.project_jac(cam_kind, prob.cam_params, Xc)
+    G = -Jproj                                      # de/dXc  [E,2,3]
+    if prob.e_invd is not None and prob.bf is not None:
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        has3 = (prob.e_invd > 0).astype(jnp.float32)
+        rect = 1.0 if cam_kind == cameras.PINHOLE else 0.0
+        r3 = rect * e[:, 0] + prob.bf * (prob.e_invd - 1.0 / z)
+        # dr3/dXc = rect*du-residual/dXc + [0,0,bf/z^2]
+        ez = jnp.zeros_like(G[:, :1, :]).at[:, 0, 2].set(prob.bf / (z * z))
+        G3 = rect * G[:, :1, :] + ez
+        e = jnp.concatenate([e, (has3 * r3)[:, None]], axis=1)
+        G = jnp.concatenate([G, has3[:, None, None] * G3], axis=1)
     hatX = lie.so3_hat(Xc)
-    Jc = jnp.concatenate([-Jproj, jnp.einsum("eij,ejk->eik", Jproj, hatX)], axis=-1)
-    Jl = -jnp.einsum("eij,ejk->eik", Jproj, Re)  # de/dXw = -Jproj @ R
+    # For residual row r with dr/dXc = g: dr/drho = g, dr/dphi = -g @ hat(Xc).
+    Jc = jnp.concatenate([G, -jnp.einsum("eij,ejk->eik", G, hatX)], axis=-1)
+    Jl = jnp.einsum("eij,ejk->eik", G, Re)          # dr/dXw = G @ R
     return e, Jc, Jl, Xc[..., 2]
 
 
@@ -104,9 +131,14 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
       lm_opt_mask) still constrain poses — those landmarks are just held
       fixed, exactly like lm_opt_mask=False today.
 
-    kf_major: promise that the edge list is laid out keyframe-major —
-      e_kf == repeat(arange(Kw), E // Kw) (the layout _ba_window_args and
-      _build_global_problem produce). Enables scatter-free segment sums:
+    kf_major: HARD CONTRACT, not a hint — the edge list must be laid out
+      exactly keyframe-major: e_kf == repeat(arange(Kw), E // Kw) (the layout
+      _ba_window_args and _build_global_problem produce; every keypoint slot
+      of window keyframe k occupies edge rows [k*N, (k+1)*N)). Any permuted
+      or differently-padded layout whose E happens to divide Kw computes
+      WRONG pose reductions with no error (only E % Kw != 0 fails loudly at
+      trace time). A caller building its own edge list must pass
+      kf_major=False. Enables scatter-free segment sums:
       pose-side reductions become reshape-sums and landmark-side reductions
       become one-hot MXU contractions. XLA scatters cost ~0.3-1.5 ms EACH on
       TPU; with 5 per LM step they dominated the whole local BA.
@@ -132,7 +164,12 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
     Lw = C
     pmask = prob.pose_opt_mask.astype(jnp.float32)[:, None]      # [Kw,1]
     lmask = lmask_c.astype(jnp.float32)[:, None]                 # [Lw,1]
-    delta2 = chi2_th
+    # Per-edge chi2 gate: stereo edges (3-dim) use the 3-dof 95% gate 7.815,
+    # mono edges the 2-dof 5.991 (reference src/Optimizer.cc:105-107).
+    if prob.e_invd is not None:
+        delta2 = jnp.where(prob.e_invd > 0, robust.CHI2_STEREO, chi2_th)
+    else:
+        delta2 = chi2_th
     E = prob.e_kf.shape[0]
 
     # One-hot landmark segment sums only pay off while the [E, Lw+1] f32
@@ -369,13 +406,13 @@ def solve_ba(prob: BAProblem, cam_kind: int = cameras.PINHOLE,
             # Hard-drop outlier edges for the next phase.
             e_p, _, _, depth_p = _edge_terms(cam_kind, prob, R, t, X)
             chi2_p = jnp.sum(e_p * e_p, axis=-1) * prob.e_info
-            keep = (chi2_p <= chi2_th) & (depth_p > 0)
+            keep = (chi2_p <= delta2) & (depth_p > 0)
             prob = prob._replace(e_valid=prob.e_valid & keep)
     costs = jnp.concatenate(cost_list)
 
     e, _, _, depth = _edge_terms(cam_kind, prob, R, t, X)
     chi2 = jnp.sum(e * e, axis=-1) * prob.e_info
-    inlier = (chi2 <= chi2_th) & (depth > 0) & prob.e_valid
+    inlier = (chi2 <= delta2) & (depth > 0) & prob.e_valid
     return BAResult(R_cw=R, t_cw=t, lm_pos=X, e_chi2=chi2, e_inlier=inlier,
                     cost_history=costs)
 

@@ -9,9 +9,14 @@ OptimizeEssentialGraph4DoF (:4852).
 Formulation: variables are per-keyframe Sim3 world->cam (s_i, R_i, t_i); each
 edge (i, j) has a measured relative Sim3 S_ij and residual
   r_ij = log_sim3(S_ij * S_j * S_i^-1)  in R^7.
-Gauss-Newton with Jacobians by forward-mode autodiff on the left-perturbation,
-solved densely (7K x 7K — a few thousand variables is a single MXU-friendly
-Cholesky, replacing g2o's sparse solve).
+Gauss-Newton with Jacobians by forward-mode autodiff on the left-perturbation.
+
+The linear solve is TPU-native: the dense GN system (7K x 7K) is solved with
+block-Jacobi preconditioned CG — the matvec is ONE [n,n]x[n] MXU matmul and
+the preconditioner is a batched closed-form 7x7 block inverse (blockinv.invn),
+so nothing lowers to a sequential LAPACK loop (jnp.linalg.solve at this size
+is milliseconds of pure serial latency per GN step on TPU — the exact
+anti-pattern blockinv.py documents).
 """
 from __future__ import annotations
 
@@ -22,6 +27,45 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import lie
+from .blockinv import invn as _invn
+
+
+def _block_pcg(H, g, pmask_cols, iters: int):
+    """Solve H x = g with block-Jacobi PCG. H: [K,D,K,D], g: [K,D].
+
+    pmask_cols: [K] float mask of free variables (fixed rows/cols are
+    identity in H and zero in g, so their solution stays zero)."""
+    K, D = g.shape
+    n = K * D
+    Hm = H.reshape(n, n)
+    diag = H[jnp.arange(K), :, jnp.arange(K), :]            # [K,D,D]
+    Pb = _invn(diag + 1e-8 * jnp.eye(D)[None])
+
+    def mv(v):
+        return (Hm @ v.reshape(n)).reshape(K, D)
+
+    def pc(r):
+        return jnp.einsum("kij,kj->ki", Pb, r) * pmask_cols[:, None]
+
+    b = g * pmask_cols[:, None]
+    z0 = pc(b)
+    rz0 = jnp.sum(b * z0)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = mv(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = pc(r)
+        rz_n = jnp.sum(r * z)
+        beta = rz_n / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        return (x, r, z + beta * p, rz_n), None
+
+    (x, *_), _ = jax.lax.scan(body, (jnp.zeros_like(b), b, z0, rz0), None,
+                              length=iters)
+    return x
 
 
 class PoseGraphProblem(NamedTuple):
@@ -57,9 +101,11 @@ def _edge_residual(xi_i, xi_j, s_i, R_i, t_i, s_j, R_j, t_j,
     return lie.sim3_log(se, Re, te)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale",
+                                             "pcg_iters"))
 def optimize_essential_graph(prob: PoseGraphProblem, iters: int = 20,
-                             lam: float = 1e-6, fix_scale: bool = False):
+                             lam: float = 1e-6, fix_scale: bool = False,
+                             pcg_iters: int = 48):
     """Gauss-Newton over Sim3 poses. Returns (s, R, t, cost_history).
 
     fix_scale: lock every vertex's scale at its current value (the reference's
@@ -117,9 +163,8 @@ def optimize_essential_graph(prob: PoseGraphProblem, iters: int = 20,
             # Lock scale dofs (index 6 of the sim3 tangent): huge diagonal
             # penalty + zeroed update, so scales pass through unchanged.
             H = H.at[jnp.arange(K), 6, jnp.arange(K), 6].add(1e12)
-        Hm = H.reshape(n, n)
-        dx = -jnp.linalg.solve(Hm + 1e-9 * jnp.eye(n), g.reshape(n))
-        dx = dx.reshape(K, 7) * pmask[:, None]
+        dx = -_block_pcg(H, g, pmask, iters=pcg_iters)
+        dx = dx * pmask[:, None]
         if fix_scale:
             dx = dx.at[:, 6].set(0.0)
         ds, dR, dt = jax.vmap(lie.sim3_exp)(dx)
@@ -154,9 +199,9 @@ def _residual_4dof(x_i, x_j, R_i, t_i, R_j, t_j, R_m, t_m):
     return lie.se3_log(Rr, tr)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "pcg_iters"))
 def optimize_pose_graph_4dof(prob: PoseGraphProblem, iters: int = 20,
-                             lam: float = 1e-6):
+                             lam: float = 1e-6, pcg_iters: int = 48):
     """4-DoF (yaw + translation) pose graph for inertial maps
     (reference OptimizeEssentialGraph4DoF src/Optimizer.cc:4852). Uses the
     PoseGraphProblem edge measurements' (R, t) parts; scales are ignored."""
@@ -196,8 +241,7 @@ def optimize_pose_graph_4dof(prob: PoseGraphProblem, iters: int = 20,
             jnp.where(fixed[:, None, None], jnp.eye(4)[None],
                       lam * jnp.eye(4)[None]))
         g = g * pmask[:, None]
-        dx = -jnp.linalg.solve(H.reshape(n, n) + 1e-9 * jnp.eye(n),
-                               g.reshape(n)).reshape(K, 4) * pmask[:, None]
+        dx = -_block_pcg(H, g, pmask, iters=pcg_iters) * pmask[:, None]
         Rz = lie.so3_exp(jnp.concatenate(
             [jnp.zeros((K, 2)), dx[:, 3:4]], axis=-1))
         R_new = lie.normalize_rotation(jnp.einsum("kij,kjl->kil", Rz, R))

@@ -79,6 +79,10 @@ class PoseInertialProblem(NamedTuple):
     R_cb: jnp.ndarray     # [3,3] body->camera
     t_cb: jnp.ndarray     # [3]
     cam_params: jnp.ndarray
+    # Stereo observations (EdgeStereoOnlyPose, include/G2oTypes.h:543; see
+    # optim.ba.BAProblem.e_invd for the residual form).
+    invd: jnp.ndarray = None   # [M] inverse depth (<=0 = mono edge)
+    bf: jnp.ndarray = None
 
 
 class PoseInertialResult(NamedTuple):
@@ -111,11 +115,22 @@ def _reproj_frame(prob: PoseInertialProblem, cam_kind, R_wb, p_wb):
     uv_hat = cameras.project(cam_kind, prob.cam_params, Xc)
     e = prob.uv - uv_hat
     Jp = cameras.project_jac(cam_kind, prob.cam_params, Xc)  # [M,2,3]
+    G = -Jp                                                  # de/dXc
+    if prob.invd is not None and prob.bf is not None:
+        # Stereo third row (see optim.ba._edge_terms for the formulation).
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        has3 = (prob.invd > 0).astype(jnp.float32)
+        rect = 1.0 if cam_kind == cameras.PINHOLE else 0.0
+        r3 = rect * e[:, 0] + prob.bf * (prob.invd - 1.0 / z)
+        ez = jnp.zeros_like(G[:, :1, :]).at[:, 0, 2].set(prob.bf / (z * z))
+        G3 = rect * G[:, :1, :] + ez
+        e = jnp.concatenate([e, (has3 * r3)[:, None]], axis=1)
+        G = jnp.concatenate([G, has3[:, None, None] * G3], axis=1)
     M3 = prob.R_cb @ R_wb.T                                  # dXc/dXw
     # Left perturbation R <- exp(th) R: dXc/dth = M3 hat(y), dXc/dp = -M3.
-    J_p = jnp.einsum("eij,jk->eik", Jp, M3)                  # de/dp = +Jp M3
-    J_th = -jnp.einsum("eij,jk,ekl->eil", Jp, M3, lie.so3_hat(y))
-    J6 = jnp.concatenate([J_th, J_p], axis=-1)               # [M,2,6]
+    J_p = -jnp.einsum("eij,jk->eik", G, M3)                  # dr/dp
+    J_th = jnp.einsum("eij,jk,ekl->eil", G, M3, lie.so3_hat(y))
+    J6 = jnp.concatenate([J_th, J_p], axis=-1)               # [M,D,6]
     return e, J6, Xc[..., 2]
 
 
@@ -158,8 +173,11 @@ def solve_pose_inertial(prob: PoseInertialProblem,
         # Visual edges on the frame pose block [0:6] of node 1.
         e, J6, depth = _reproj_frame(prob, cam_kind, Rf, pf)
         chi2 = jnp.sum(e * e, axis=-1) * prob.e_info
+        huber_d2 = robust.CHI2_MONO
+        if prob.invd is not None:
+            huber_d2 = jnp.where(prob.invd > 0, robust.CHI2_STEREO, huber_d2)
         w = jnp.where(use_kernel,
-                      robust.huber_weight(chi2, robust.CHI2_MONO), 1.0)
+                      robust.huber_weight(chi2, huber_d2), 1.0)
         w = w * prob.e_info * inlier_mask * prob.e_valid * (depth > 0.05)
         Jv = jnp.concatenate([J6, jnp.zeros(J6.shape[:2] + (9,))], axis=-1)
         wJv = Jv * w[:, None, None]
@@ -255,11 +273,16 @@ def solve_pose_inertial(prob: PoseInertialProblem,
 
         (x, _), _ = jax.lax.scan(lm_iter, (x, jnp.float32(1e-4)),
                                  None, length=iters_per_round)
-        # Re-classify outliers with this round's chi2 gate.
+        # Re-classify outliers with this round's chi2 gate (stereo edges get
+        # the 3-dof gate scaled up, reference {15.6, 9.8, 7.815, 7.815}).
         Rf, pf = x[5], x[6]
         e, _, depth = _reproj_frame(prob, cam_kind, Rf, pf)
         chi2 = jnp.sum(e * e, axis=-1) * prob.e_info
-        inlier_mask = ((chi2 <= delta2) & (depth > 0.05)).astype(jnp.float32)
+        gate = delta2
+        if prob.invd is not None:
+            gate = delta2 * jnp.where(
+                prob.invd > 0, robust.CHI2_STEREO / robust.CHI2_MONO, 1.0)
+        inlier_mask = ((chi2 <= gate) & (depth > 0.05)).astype(jnp.float32)
         return (x, inlier_mask), None
 
     x0 = (prob.R_wb0, prob.p_wb0, prob.v_wb0, prob.bg0, prob.ba0,
@@ -276,9 +299,17 @@ def solve_pose_inertial(prob: PoseInertialProblem,
     if anchor_fixed:
         marg = H_ff
     else:
+        # Jacobi-equilibrate before the unpivoted recursive inverse: the
+        # information scales here span ~1e10 (see gate weights above) and
+        # invn loses significant digits on that spread without it — the
+        # same treatment the LM-step path applies (advisor finding).
         H_aa = H[0, :, 0, :] + 1e-6 * jnp.eye(D)
         H_fa = H[1, :, 0, :]
-        marg = H_ff - H_fa @ blockinv.invn(H_aa) @ H_fa.T
+        d_eq = jnp.sqrt(jnp.maximum(jnp.diagonal(H_aa), 1e-12))
+        H_aa_e = H_aa / d_eq[:, None] / d_eq[None, :]
+        H_fa_e = H_fa / d_eq[None, :]
+        marg = H_ff - H_fa_e @ blockinv.invn(
+            H_aa_e + 1e-9 * jnp.eye(D)) @ H_fa_e.T
     marg = 0.5 * (marg + marg.T)
 
     Ra, pa, va, bga, baa, Rf, pf, vf, bgf, baf = x

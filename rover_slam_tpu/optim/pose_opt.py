@@ -33,21 +33,32 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray      # final per-edge chi2
 
 
-def _residual_jac(R, t, cam_kind, cam_params, Xw, uv):
-    """Per-edge residual e = uv - proj(Xc) and Jacobian wrt [rho, phi] (left pert).
+def _residual_jac(R, t, cam_kind, cam_params, Xw, uv, invd=None, bf=None):
+    """Per-edge residual e = uv - proj(Xc) and Jacobian wrt [rho, phi] (left
+    pert). With stereo observations (invd [M] inverse depth, bf scalar) a
+    third residual row is added — the reference's EdgeStereoSE3ProjectXYZ
+    OnlyPose u_R component (include/G2oTypes.h:543; see optim.ba._edge_terms
+    for the formulation) — masked to zero where invd<=0.
 
-    Returns e [M,2], J [M,2,6], depth [M].
+    Returns e [M,D], J [M,D,6], depth [M] (D=2 mono / 3 stereo).
     """
     Xc = lie.se3_apply(R, t, Xw)
     uv_hat = cameras.project(cam_kind, cam_params, Xc)
     e = uv - uv_hat
     Jproj = cameras.project_jac(cam_kind, cam_params, Xc)  # [M,2,3]
+    G = -Jproj                                             # de/dXc
+    if invd is not None and bf is not None:
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        has3 = (invd > 0).astype(jnp.float32)
+        rect = 1.0 if cam_kind == cameras.PINHOLE else 0.0
+        r3 = rect * e[:, 0] + bf * (invd - 1.0 / z)
+        ez = jnp.zeros_like(G[:, :1, :]).at[:, 0, 2].set(bf / (z * z))
+        G3 = rect * G[:, :1, :] + ez
+        e = jnp.concatenate([e, (has3 * r3)[:, None]], axis=1)
+        G = jnp.concatenate([G, has3[:, None, None] * G3], axis=1)
     # dXc/d(rho) = I ; dXc/d(phi) = -hat(Xc)
     hatX = lie.so3_hat(Xc)  # [M,3,3]
-    # J_e = -Jproj @ [I | -hatX]  -> columns [rho, phi]
-    J_rho = -Jproj
-    J_phi = jnp.einsum("mij,mjk->mik", Jproj, hatX)
-    J = jnp.concatenate([J_rho, J_phi], axis=-1)  # [M,2,6]
+    J = jnp.concatenate([G, -jnp.einsum("mij,mjk->mik", G, hatX)], axis=-1)
     return e, J, Xc[..., 2]
 
 
@@ -58,7 +69,9 @@ def pose_optimization(R_cw, t_cw, Xw, uv, valid, cam_params,
                       info: jnp.ndarray | None = None,
                       rounds: int = 4, iters_per_round: int = 10,
                       chi2_th: float = robust.CHI2_MONO,
-                      check_cost: bool = True) -> PoseOptResult:
+                      check_cost: bool = True,
+                      invd: jnp.ndarray | None = None,
+                      bf: jnp.ndarray | None = None) -> PoseOptResult:
     """Optimize one camera pose against fixed landmarks.
 
     Xw [M,3], uv [M,2], valid [M] bool; info [M] inverse measurement variance
@@ -66,12 +79,20 @@ def pose_optimization(R_cw, t_cw, Xw, uv, valid, cam_params,
     check_cost=False runs plain damped GN (no accept/reject second evaluation)
     — half the residual evaluations; fine when the prior is good (per-frame
     tracking with a motion-model/IMU prediction).
+    invd/bf: optional stereo observations — keypoints with invd>0 contribute
+    3-dim stereo edges with the 7.815 chi2 gate (reference
+    EdgeStereoSE3ProjectXYZOnlyPose, src/Optimizer.cc:160-230).
     """
     M = Xw.shape[0]
     if info is None:
         info = jnp.ones((M,), jnp.float32)
 
-    delta2 = chi2_th  # Huber delta^2 == chi2 gate (reference uses sqrt(5.991))
+    # Huber delta^2 == chi2 gate, per edge when stereo rows are present
+    # (reference uses sqrt(5.991) mono / sqrt(7.815) stereo).
+    if invd is not None and bf is not None:
+        delta2 = jnp.where(invd > 0, robust.CHI2_STEREO, chi2_th)
+    else:
+        delta2 = chi2_th
 
     def lm_round(carry, round_idx):
         R, t, inlier_mask = carry
@@ -79,7 +100,8 @@ def pose_optimization(R_cw, t_cw, Xw, uv, valid, cam_params,
 
         def lm_iter(carry2, _):
             R, t, lam = carry2
-            e, J, depth = _residual_jac(R, t, cam_kind, cam_params, Xw, uv)
+            e, J, depth = _residual_jac(R, t, cam_kind, cam_params, Xw, uv,
+                                        invd, bf)
             chi2 = jnp.sum(e * e, axis=-1) * info
             w = jnp.where(use_kernel, robust.huber_weight(chi2, delta2), 1.0)
             w = w * info * inlier_mask * valid * (depth > 0)
@@ -99,7 +121,7 @@ def pose_optimization(R_cw, t_cw, Xw, uv, valid, cam_params,
             if check_cost:
                 # Accept if cost decreased.
                 e_new, _, d_new = _residual_jac(R_new, t_new, cam_kind,
-                                                cam_params, Xw, uv)
+                                                cam_params, Xw, uv, invd, bf)
                 chi2_new = jnp.sum(e_new * e_new, axis=-1) * info
                 mask_eff = inlier_mask * valid
                 cost_old = jnp.sum(jnp.where(use_kernel,
@@ -120,9 +142,10 @@ def pose_optimization(R_cw, t_cw, Xw, uv, valid, cam_params,
         (R, t, _), _ = jax.lax.scan(lm_iter, (R, t, jnp.float32(1e-3)),
                                     None, length=iters_per_round)
         # Re-classify inliers by chi2 (reference :306-410).
-        e, _, depth = _residual_jac(R, t, cam_kind, cam_params, Xw, uv)
+        e, _, depth = _residual_jac(R, t, cam_kind, cam_params, Xw, uv,
+                                    invd, bf)
         chi2 = jnp.sum(e * e, axis=-1) * info
-        inlier_mask = ((chi2 <= chi2_th) & (depth > 0)).astype(jnp.float32)
+        inlier_mask = ((chi2 <= delta2) & (depth > 0)).astype(jnp.float32)
         return (R, t, inlier_mask), chi2
 
     init = (R_cw, t_cw, jnp.ones((M,), jnp.float32))

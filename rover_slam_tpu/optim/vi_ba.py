@@ -64,6 +64,11 @@ class VIBAProblem(NamedTuple):
     e_uv: jnp.ndarray
     e_valid: jnp.ndarray
     e_info: jnp.ndarray
+    # Stereo observations (see optim.ba.BAProblem.e_invd): 3-dim stereo
+    # reprojection edges with chi2 7.815 (reference EdgeStereo,
+    # include/G2oTypes.h:497).
+    e_invd: jnp.ndarray = None
+    bf: jnp.ndarray = None
 
 
 GRAVITY = preint.GRAVITY_VEC
@@ -108,6 +113,17 @@ def _reproj_terms(prob: VIBAProblem, cam_kind, R_wb, p_wb, X):
     uv_hat = cameras.project(cam_kind, prob.cam_params, Xc)
     e = prob.e_uv - uv_hat
     Jp = cameras.project_jac(cam_kind, prob.cam_params, Xc)   # [E,2,3]
+    G = -Jp                                                   # de/dXc
+    if prob.e_invd is not None and prob.bf is not None:
+        # Third (stereo) residual row — see optim.ba._edge_terms.
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        has3 = (prob.e_invd > 0).astype(jnp.float32)
+        rect = 1.0 if cam_kind == cameras.PINHOLE else 0.0
+        r3 = rect * e[:, 0] + prob.bf * (prob.e_invd - 1.0 / z)
+        ez = jnp.zeros_like(G[:, :1, :]).at[:, 0, 2].set(prob.bf / (z * z))
+        G3 = rect * G[:, :1, :] + ez
+        e = jnp.concatenate([e, (has3 * r3)[:, None]], axis=1)
+        G = jnp.concatenate([G, has3[:, None, None] * G3], axis=1)
     # dXc/dXw = R_cb R_wb^T ; dXc/dp = -R_cb R_wb^T
     # dXc/dth (left pert on R_wb: R<-exp(th)R): Xb = (exp(th)R)^T(X-p)
     #   = R^T exp(-th) (X-p) ~ R^T (I - hat(th)) (X-p)
@@ -117,11 +133,11 @@ def _reproj_terms(prob: VIBAProblem, cam_kind, R_wb, p_wb, X):
     #   dXc/dth (R_wb <- exp(th) R_wb): Xb = R^T exp(-th)(Xw-p)
     #     ~ R^T (y + hat(y) th), y = Xw - p  =>  dXc/dth = M hat(y)
     M = jnp.einsum("ij,ekj->eik", prob.R_cb, Rk)              # [E,3,3] R_cb R^T
-    J_X = -jnp.einsum("eij,ejk->eik", Jp, M)                  # de/dXw
-    J_p = -J_X                                                # de/dp = +Jp M
+    J_X = jnp.einsum("eij,ejk->eik", G, M)                    # dr/dXw
+    J_p = -J_X                                                # dr/dp
     hat_d = lie.so3_hat(Xe - pk)
-    J_th = -jnp.einsum("eij,ejk,ekl->eil", Jp, M, hat_d)
-    Jc = jnp.concatenate([J_th, J_p], axis=-1)                # [E,2,6]
+    J_th = jnp.einsum("eij,ejk,ekl->eil", G, M, hat_d)
+    Jc = jnp.concatenate([J_th, J_p], axis=-1)                # [E,D,6]
     return e, Jc, J_X, Xc[..., 2]
 
 
@@ -133,6 +149,8 @@ def solve_vi_ba(prob: VIBAProblem, cam_kind: int = cameras.PINHOLE,
     Kw = prob.R_wb.shape[0]
     Lw = prob.lm_pos.shape[0]
     D = 15
+    if prob.e_invd is not None:
+        chi2_th = jnp.where(prob.e_invd > 0, robust.CHI2_STEREO, chi2_th)
     pmask = (prob.pose_opt_mask & prob.kf_valid).astype(jnp.float32)
     lmask = prob.lm_opt_mask.astype(jnp.float32)
     delta2 = chi2_th

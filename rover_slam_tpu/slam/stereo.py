@@ -97,6 +97,11 @@ class StereoSLAM(MonocularSLAM):
         super().__init__(cam_params, **kw)
         self.baseline = float(baseline)
         self.baseline_fx = self.baseline * float(np.asarray(cam_params)[0])
+        # Metric stereo observations become 3-dim residuals in every solver
+        # (reference EdgeStereoSE3ProjectXYZ*, include/G2oTypes.h:497-575).
+        self.bf = self.baseline_fx
+        if self.loop_closer is not None:
+            self.loop_closer.bf = self.baseline_fx
 
     def track_stereo_frame(self, kpts_l, rays_l, desc_l, valid_l,
                            kpts_r, desc_r, valid_r, time) -> dict:
@@ -124,6 +129,8 @@ class StereoSLAM(MonocularSLAM):
         has_depth = np.asarray((depth > 0) & jnp.asarray(valid))
         if has_depth.sum() < 100:
             return False
+        if not self._ensure_kf_capacity(need=1):
+            return False
         rays_j = jnp.asarray(rays)
         X = rays_j / rays_j[:, 2:] * jnp.asarray(depth)[:, None]
         state, slots = ms.add_landmarks(
@@ -132,11 +139,14 @@ class StereoSLAM(MonocularSLAM):
             jnp.zeros((self.state.N,), jnp.int32),
             jnp.asarray(has_depth))
         lm_idx = jnp.where(slots >= 0, slots, -1)
+        invd = jnp.where(jnp.asarray(depth) > 0,
+                         1.0 / jnp.maximum(jnp.asarray(depth), 1e-6), -1.0)
         state, kf_id = ms.add_keyframe(
             state, jnp.eye(3), jnp.zeros(3), jnp.asarray(kpts), rays_j,
             jnp.asarray(desc), jnp.asarray(valid), lm_idx,
-            jnp.asarray(time, jnp.float32), parent=-1)
+            jnp.asarray(time, jnp.float32), parent=-1, kpt_invd=invd)
         self.state = state
+        self._assign_uid(int(kf_id))
         self.n_kf = int(state.n_kf)
         frame = T.FrameData(jnp.asarray(kpts), rays_j, jnp.asarray(desc),
                             jnp.asarray(valid), float(time),

@@ -30,6 +30,10 @@ class StereoInertialSLAM(MonocularInertialSLAM):
         super().__init__(cam_params, imu_calib, tinit_s=tinit_s, **kw)
         self.baseline = float(baseline)
         self.baseline_fx = self.baseline * float(np.asarray(cam_params)[0])
+        # 3-dim stereo residuals in every solver (see slam/stereo.py).
+        self.bf = self.baseline_fx
+        if self.loop_closer is not None:
+            self.loop_closer.bf = self.baseline_fx
 
     def track_stereo_frame(self, kpts_l, rays_l, desc_l, valid_l,
                            kpts_r, desc_r, valid_r, time) -> dict:
@@ -58,6 +62,8 @@ class StereoInertialSLAM(MonocularInertialSLAM):
         has_depth = np.asarray((depth > 0) & jnp.asarray(valid))
         if has_depth.sum() < 100:
             return False
+        if not self._ensure_kf_capacity(need=1):
+            return False
         rays_j = jnp.asarray(rays)
         X = rays_j / rays_j[:, 2:] * jnp.asarray(depth)[:, None]
         state, slots = ms.add_landmarks(
@@ -66,12 +72,15 @@ class StereoInertialSLAM(MonocularInertialSLAM):
             jnp.full((self.state.N,), int(self.state.n_kf), jnp.int32),
             jnp.asarray(has_depth))
         lm_idx = jnp.where(slots >= 0, slots, -1)
+        invd = jnp.where(jnp.asarray(depth) > 0,
+                         1.0 / jnp.maximum(jnp.asarray(depth), 1e-6), -1.0)
         state, kf_id = ms.add_keyframe(
             state, jnp.eye(3), jnp.zeros(3), jnp.asarray(kpts), rays_j,
             jnp.asarray(desc), jnp.asarray(valid), lm_idx,
-            jnp.asarray(time, jnp.float32), parent=-1)
+            jnp.asarray(time, jnp.float32), parent=-1, kpt_invd=invd)
         self.state = state
         self.n_kf = int(self.state.n_kf)
+        self._assign_uid(self.n_kf - 1)
         frame = T.FrameData(jnp.asarray(kpts), rays_j, jnp.asarray(desc),
                             jnp.asarray(valid), float(time),
                             R_cw=jnp.eye(3), t_cw=jnp.zeros(3),
@@ -110,7 +119,7 @@ class StereoInertialSLAM(MonocularInertialSLAM):
                                             fix_scale=True)
         from .inertial_system import _apply_alignment_kernel
         v_full = jnp.zeros((self.state.K, 3))
-        v_full = v_full.at[jnp.asarray(idx)].set(res.v_wb)
+        v_full = v_full.at[jnp.asarray(idx)].set(res.v_wb[:len(idx)])
         self.state = _apply_alignment_kernel(self.state, res.Rwg,
                                              jnp.asarray(1.0), v_full,
                                              res.bg, res.ba,
@@ -120,10 +129,18 @@ class StereoInertialSLAM(MonocularInertialSLAM):
         if lf is not None and lf.R_cw is not None:
             lf.R_cw = lf.R_cw @ res.Rwg
         self.velocity = None
+        # Body state at the last FRAME, not the stale last-keyframe snapshot
+        # (see inertial_system._refine_scale).
+        from .inertial_system import _body_from_camera
         k_last = self.n_kf - 1
-        self.R_wb = self.state.kf_R_wb[k_last]
-        self.p_wb = self.state.kf_p_wb[k_last]
-        self.v_wb = self.state.kf_v_wb[k_last]
+        if lf is not None and lf.R_cw is not None:
+            self.R_wb, self.p_wb = _body_from_camera(
+                lf.R_cw, lf.t_cw, self.calib.Rbc, self.calib.tbc)
+            self.v_wb = self.state.kf_v_wb[k_last]
+        else:
+            self.R_wb = self.state.kf_R_wb[k_last]
+            self.p_wb = self.state.kf_p_wb[k_last]
+            self.v_wb = self.state.kf_v_wb[k_last]
         self.imu_ready = True
 
     def _refine_scale(self, max_window: int = 30):

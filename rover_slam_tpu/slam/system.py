@@ -59,6 +59,8 @@ class MonocularSLAM:
         self.pipeline = self.pipeline_depth > 0
         self._pending = deque()       # FIFO of (frame, flags_future)
         self.cam_params = jnp.asarray(cam_params)
+        self.bf = None   # baseline*fx (stereo/RGBD systems set it): enables
+                         # 3-dim stereo residuals in every solver
         K, N, L = map_capacity
         self.state = ms.empty_map(K=K, N=N, L=L, D=desc_dim)
         self.loop_closer = None
@@ -77,14 +79,51 @@ class MonocularSLAM:
         self.frames_since_kf = 0
         self.n_kf = 0
         self.timers = StageTimers()
-        self.trajectory = []          # (time, R_cw, t_cw, state)
+        # Trajectory log: (time, R_cw, t_cw, tracking_state, ref_uid,
+        # R_cr, t_cr) — poses RELATIVE to the reference keyframe are what
+        # get composed at save time so loop closures / GBA retroactively
+        # correct the whole history (reference logs mlRelativeFramePoses +
+        # mlpReferences, src/Tracking.cc:2697-2719, reconstituted by
+        # SaveTrajectoryEuRoC src/System.cc:730-1124).
+        self.trajectory = []
         self._rng = jax.random.PRNGKey(7)
+        # --- keyframe identity across slot compaction ---
+        # Slots are recycled (map_state.compact_map), so stable identities
+        # are host-side uids: _uid_of_slot maps live slot -> uid, and
+        # _kf_redirect records, for every CULLED keyframe, its pose relative
+        # to its surviving spanning-tree ancestor frozen at cull time
+        # (reference KeyFrame::SetBadFlag mTcp, src/KeyFrame.cc:719).
+        self._next_uid = 0
+        self._uid_of_slot = np.full((K,), -1, np.int64)
+        self._kf_redirect = {}        # uid -> (parent_uid, R_cp, t_cp)
+        self._pending_cull_red = None  # async-fetched cull redirect arrays
+        self._n_lm_used = 0
+        self._kf_compact_guard = 0    # back-off counters (frames) after a
+        self._lm_compact_guard = 0    # relief attempt that freed nothing
 
     # ------------------------------------------------------------------
     def track_frame(self, kpts, rays, desc, valid, time) -> dict:
         """Process one frame (arrays shaped [N,...]). Returns tracking info."""
         frame = T.FrameData(jnp.asarray(kpts), jnp.asarray(rays),
                             jnp.asarray(desc), jnp.asarray(valid), float(time))
+        sd = getattr(self, "_stereo_depth", None)
+        if sd is not None and self.bf is not None:
+            # Stereo observation: inverse depth per keypoint (the reference
+            # stores mvuRight/mvDepth on the Frame, src/Frame.cc:1159).
+            frame.invd = jnp.where(sd > 0, 1.0 / jnp.maximum(sd, 1e-6), -1.0)
+        # Timestamp jump (gap or backwards): the stream is discontinuous —
+        # finish in-flight frames in the old timeline, then continue in a
+        # FRESH Atlas map (reference CreateMapInAtlas on dt jump,
+        # src/Tracking.cc:2040-2086; place recognition can weld the maps
+        # back together later).
+        if (self.cfg.timestamp_jump_s > 0 and self.last_frame is not None
+                and self.tracking_state in (T.OK, T.RECENTLY_LOST)
+                and (float(time) < self.last_frame.time - 1e-6
+                     or float(time) - self.last_frame.time
+                     > self.cfg.timestamp_jump_s)):
+            self.flush()
+            if self.tracking_state in (T.OK, T.RECENTLY_LOST):
+                self._on_tracking_lost(frame)
         if self.tracking_state == T.NO_IMAGES_YET:
             self.init_frame = frame
             self.tracking_state = T.NOT_INITIALIZED
@@ -125,7 +164,10 @@ class MonocularSLAM:
                 motion_rounds=self.cfg.motion_rounds,
                 motion_iters=self.cfg.motion_iters,
                 local_rounds=self.cfg.local_rounds,
-                local_iters=self.cfg.local_iters)
+                local_iters=self.cfg.local_iters,
+                cur_invd=frame.invd,
+                bf=(None if self.bf is None
+                    else jnp.asarray(self.bf, jnp.float32)))
             frame.R_cw, frame.t_cw, frame.landmark_idx = R2, t2, cur_lm
 
         if self.pipeline:
@@ -156,6 +198,11 @@ class MonocularSLAM:
     def _finish_track(self, frame: T.FrameData, flags) -> dict:
         """Flags-dependent half of per-frame tracking: state machine,
         relocalization, refinement hook, keyframe decision."""
+        # The frame being finished is in neither _pending nor last_frame, so
+        # a compaction fired from the keyframe decision below must remap its
+        # landmark ids through this handle (else the insert would register
+        # stale pre-compaction ids as observations).
+        self._finishing_frame = frame
         flags = np.asarray(flags)   # single host sync per frame
         ok = bool(flags[0])
         self._last_n_inl = int(flags[1])
@@ -213,12 +260,14 @@ class MonocularSLAM:
         if ok and self._need_new_keyframe(frame):
             with self.timers.stage("new_kf"):
                 self._insert_keyframe(frame)
+        self._finishing_frame = None
 
         return {"state": self.tracking_state,
                 "n_inliers": self._last_n_inl,
                 "pose": (frame.R_cw, frame.t_cw)}
 
     _lost_since = 0.0
+    _finishing_frame = None
 
     def _on_tracking_lost(self, frame):
         """Tracking declared LOST after the grace window (reference
@@ -230,7 +279,8 @@ class MonocularSLAM:
         st = self.state
         active = int(st.active_map_id)
         in_map = st.kf_active & (st.kf_map_id == active)
-        n_map_kfs = int(jnp.sum(in_map))
+        in_map_np = np.asarray(in_map)
+        n_map_kfs = int(in_map_np.sum())
         if n_map_kfs < self.cfg.min_kfs_keep_map:
             lm_in = st.lm_active & (st.lm_map_id == active)
             st = st.replace(
@@ -238,12 +288,21 @@ class MonocularSLAM:
                 kf_landmark_idx=jnp.where(in_map[:, None], -1,
                                           st.kf_landmark_idx))
             st = ms.remove_landmarks(st, lm_in)
+            # The discarded map's keyframe uids are dead: their logged frames
+            # keep absolute poses (nothing survives to correct them against).
+            self._resolve_cull_redirects()
+            self._uid_of_slot[in_map_np] = -1
         self.state = atlas.create_new_map(st)
         self.tracking_state = T.NO_IMAGES_YET
         self.init_frame = None
         self.velocity = None
         self._lost_frames = 0
-        self._pending.clear()   # in-flight frames tracked the discarded map
+        # In-flight frames tracked the pre-loss map: log their poses (frame-
+        # count parity with the reference's trajectory writers) but skip
+        # their state machine.
+        for pf, _ in self._pending:
+            self._log_pose(pf)
+        self._pending.clear()
         self._kf_scalars = None
 
     def flush(self):
@@ -273,6 +332,8 @@ class MonocularSLAM:
             self.init_frame = frame
             self.last_frame = frame
             return False
+        if not self._ensure_kf_capacity(need=2):
+            return False   # table full of protected entries: cannot init yet
         # Two-view reconstruction on z=1-plane coords.
         x0, x1 = T._init_coords(f0.rays, frame.rays, matches)
         self._rng, key = jax.random.split(self._rng)
@@ -291,6 +352,8 @@ class MonocularSLAM:
             f0.time, frame.time, matches,
             tv.success, tv.R_21, tv.t_21, tv.points3d, tv.is_triangulated,
             self.cam_params, self.cfg.cam_kind)
+        self._assign_uid(base)
+        self._assign_uid(base + 1)
         self.n_kf = base + 2
         # Init BA over the two keyframes (reference GlobalBundleAdjustemnt(20)).
         pad = self.cfg.local_window + self.cfg.fixed_window - 2
@@ -421,8 +484,25 @@ class MonocularSLAM:
         if self._kf_scalars is not None:
             # Deferred fetch from the last insertion (pipeline mode): by now
             # the insert program has finished, so this doesn't stall.
-            self.ref_kf_tracked = int(np.asarray(self._kf_scalars)[3])
+            sc = np.asarray(self._kf_scalars)
+            self.ref_kf_tracked = int(sc[3])
+            if len(sc) > 5:
+                self._n_lm_used = int(sc[5])
             self._kf_scalars = None
+        self._ensure_kf_capacity(need=1)
+        lm_headroom = 3 * self.state.N + 64
+        if self._lm_compact_guard > 0:
+            self._lm_compact_guard -= 1
+        if (self._n_lm_used >= self.state.L - lm_headroom
+                and self._lm_compact_guard <= 0):
+            self._compact_map()
+            if self._n_lm_used >= self.state.L - lm_headroom:
+                from ..map import maintenance
+                self.state = maintenance.cull_landmarks(
+                    self.state, min_found_ratio=0.1, min_obs=2, min_age_kf=2)
+                self._compact_map()
+            if self._n_lm_used >= self.state.L - lm_headroom:
+                self._lm_compact_guard = 20   # back off
         if self.n_kf >= self.state.K:
             return False
         if self.frames_since_kf < self.cfg.kf_min_interval:
@@ -468,7 +548,11 @@ class MonocularSLAM:
             jnp.asarray(self.n_kf - 1, jnp.int32),
             self.cam_params, self.cfg.cam_kind,
             self.cfg.local_window, self.cfg.fixed_window, self.cfg.ba_iters,
-            run_ba=run_ba, ext_tri_ids=ext_ids, ext_tri_matches=ext_tri)
+            run_ba=run_ba, ext_tri_ids=ext_ids, ext_tri_matches=ext_tri,
+            kpt_invd=frame.invd,
+            bf=(None if self.bf is None
+                else jnp.asarray(self.bf, jnp.float32)))
+        self._assign_uid(self.n_kf)
         self.n_kf += 1
         self.frames_since_kf = 0
         kf_id_i = self.n_kf - 1
@@ -479,13 +563,17 @@ class MonocularSLAM:
                 pass
             self._kf_scalars = scalars   # deferred fetch (see _need_new_keyframe)
         else:
-            self.ref_kf_tracked = int(np.asarray(scalars)[3])
+            sc = np.asarray(scalars)
+            self.ref_kf_tracked = int(sc[3])
+            if len(sc) > 5:
+                self._n_lm_used = int(sc[5])
 
         if (self.cfg.kf_cull_every > 0 and self.n_kf >= 6
                 and self.n_kf % self.cfg.kf_cull_every == 0):
             from ..map import maintenance
-            self.state, _ = maintenance.cull_keyframes(
+            self.state, _, redirect = maintenance.cull_keyframes_ex(
                 self.state, redundancy=self.cfg.kf_cull_redundancy)
+            self._record_cull_redirects(redirect)
 
         if self.loop_closer is not None:
             with self.timers.stage("place_recog"):
@@ -505,18 +593,192 @@ class MonocularSLAM:
     # ------------------------------------------------------------------
     def _log_pose(self, frame):
         # Poses are logged as (possibly lazy) device values — converting here
-        # would force a blocking device round trip per frame.
+        # would force a blocking device round trip per frame. Alongside the
+        # absolute pose we log (ref keyframe uid, T_cr): at save time the
+        # relative pose is composed against the ref keyframe's CURRENT pose,
+        # so loop closures correct already-logged history (reference
+        # src/Tracking.cc:2697-2719 + SaveTrajectoryEuRoC).
+        ref_uid, R_cr, t_cr = -1, None, None
+        if self.n_kf >= 1 and frame.R_cw is not None:
+            ref_slot = self.n_kf - 1
+            ref_uid = int(self._uid_of_slot[ref_slot])
+            R_cr, t_cr = T._rel_to_kf_kernel(
+                self.state, frame.R_cw, frame.t_cw,
+                jnp.asarray(ref_slot, jnp.int32))
         self.trajectory.append((frame.time, frame.R_cw, frame.t_cw,
-                                self.tracking_state))
+                                self.tracking_state, ref_uid, R_cr, t_cr))
 
-    def get_trajectory(self):
+    def get_trajectory(self, reconstitute: bool = True):
+        """Final trajectory (times, R_cw [F,3,3], t_cw [F,3]).
+
+        reconstitute=True composes each frame's logged relative pose T_cr
+        against its reference keyframe's CURRENT pose (chaining through
+        cull-time redirects for erased keyframes), so corrections applied to
+        the map after the frame was tracked — loop closing, GBA — propagate
+        to the whole history (reference SaveTrajectoryEuRoC semantics,
+        src/System.cc:730-1124). Frames whose reference chain died (e.g. a
+        discarded young map) fall back to their absolute logged pose."""
         self.flush()
+        self._resolve_cull_redirects()
         if not self.trajectory:
             return (np.zeros((0,)), np.zeros((0, 3, 3)), np.zeros((0, 3)))
-        times = np.array([t for t, _, _, _ in self.trajectory])
-        Rs = np.stack([np.asarray(R) for _, R, _, _ in self.trajectory])
-        ts = np.stack([np.asarray(t) for _, _, t, _ in self.trajectory])
+        times = np.array([e[0] for e in self.trajectory])
+        Rs = np.stack([np.asarray(e[1]) for e in self.trajectory])
+        ts = np.stack([np.asarray(e[2]) for e in self.trajectory])
+        if not reconstitute:
+            return times, Rs, ts
+        kf_R = np.asarray(self.state.kf_R_cw)
+        kf_t = np.asarray(self.state.kf_t_cw)
+        slot_of_uid = {int(u): s for s, u in enumerate(self._uid_of_slot)
+                       if u >= 0}
+        for i, e in enumerate(self.trajectory):
+            uid, R_cr, t_cr = e[4], e[5], e[6]
+            if uid < 0 or R_cr is None:
+                continue
+            R_cr = np.asarray(R_cr)
+            t_cr = np.asarray(t_cr)
+            depth = 0
+            while uid >= 0 and uid not in slot_of_uid and depth < 256:
+                red = self._kf_redirect.get(uid)
+                if red is None:
+                    uid = -1
+                    break
+                p_uid, R_rp, t_rp = red
+                # T_cr' = T_cr * T_rp (chain through the erased keyframe)
+                t_cr = R_cr @ t_rp + t_cr
+                R_cr = R_cr @ R_rp
+                uid = p_uid
+                depth += 1
+            if uid < 0 or uid not in slot_of_uid:
+                continue  # dead chain: keep the absolute logged pose
+            s = slot_of_uid[uid]
+            Rs[i] = R_cr @ kf_R[s]
+            ts[i] = R_cr @ kf_t[s] + t_cr
         return times, Rs, ts
+
+    # ------------------------------------------------------------------
+    # Keyframe identity / slot lifecycle
+    # ------------------------------------------------------------------
+    def _assign_uid(self, slot: int):
+        self._uid_of_slot[slot] = self._next_uid
+        self._next_uid += 1
+
+    def _record_cull_redirects(self, redirect):
+        """Stash the cull kernel's redirect arrays; the device->host copy is
+        started now and read later (deferred like the keyframe scalars) so
+        the cull cadence adds no blocking sync."""
+        self._resolve_cull_redirects()
+        for a in redirect:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._pending_cull_red = redirect
+
+    def _resolve_cull_redirects(self):
+        if self._pending_cull_red is None:
+            return
+        cull, surv, R_cp, t_cp = [np.asarray(a) for a in self._pending_cull_red]
+        self._pending_cull_red = None
+        for s in np.nonzero(cull)[0]:
+            uid = int(self._uid_of_slot[s])
+            if uid < 0:
+                continue
+            p = int(surv[s])
+            p_uid = int(self._uid_of_slot[p]) if p >= 0 else -1
+            self._kf_redirect[uid] = (p_uid, R_cp[s].copy(), t_cp[s].copy())
+            self._uid_of_slot[s] = -1
+
+    def _ensure_kf_capacity(self, need: int = 1) -> bool:
+        """Free keyframe slots when the table approaches its cap: compact
+        first; when compaction alone frees nothing (the table is full of
+        ACTIVE entries), force a cull pass — culling normally runs on the
+        insert cadence, and inserts are exactly what a full table blocks, so
+        without this the map would deadlock at capacity (the round-2
+        append-only flaw in a different guise). Redundancy culling first; if
+        nothing is redundant (pure exploration — never-revisited territory),
+        shed the oldest keyframes sliding-window style (documented
+        divergence — the reference's maps simply grow without bound; a
+        fixed-capacity table must bound its working set). A failed attempt
+        backs off a few frames instead of re-dispatching every frame."""
+        if self._kf_compact_guard > 0:
+            self._kf_compact_guard -= 1
+        K = self.state.K
+        if self.n_kf + need <= K:
+            return True
+        if self._kf_compact_guard > 0:
+            return self.n_kf + need <= K
+        self._compact_map()
+        if self.n_kf + need > K:
+            from ..map import maintenance
+            st, n_c, redirect = maintenance.cull_keyframes_ex(
+                self.state, redundancy=self.cfg.kf_cull_redundancy)
+            if int(n_c) == 0:
+                st, n_c, redirect = maintenance.cull_oldest_ex(
+                    self.state, n_free=max(2, need, K // 8),
+                    protect_recent=min(16, K // 2))
+            if int(n_c) > 0:
+                self.state = st
+                self._record_cull_redirects(redirect)
+                self._compact_map()
+        if self.n_kf + need > K:
+            self._kf_compact_guard = 20   # back off
+            return False
+        return True
+
+    def _compact_map(self):
+        """Pack active keyframe/landmark slots to the front of the tables and
+        remap every host-side index reference (map_state.compact_map). This
+        is what lets the fixed-capacity tables absorb arbitrarily long
+        sequences: culling deactivates, compaction recycles."""
+        self._resolve_cull_redirects()
+        if self._kf_scalars is not None:
+            self.ref_kf_tracked = int(np.asarray(self._kf_scalars)[3])
+            self._kf_scalars = None
+        st, kf_o2n, lm_o2n = ms.compact_map(self.state)
+        kf_map = np.asarray(kf_o2n)            # one host sync (rare)
+        self.state = st
+        # uid table follows the permutation; dropped slots' uids (already
+        # redirected at cull time, or dead) leave the table.
+        old_uid = self._uid_of_slot
+        new_uid = np.full_like(old_uid, -1)
+        live = kf_map >= 0
+        new_uid[kf_map[live]] = old_uid[live]
+        self._uid_of_slot = new_uid
+        self.n_kf = int(live.sum())
+        self._n_lm_used = int(st.n_lm)
+        # Remap per-frame landmark references (device-side, no sync).
+        seen = set()
+        frames = [p[0] for p in self._pending]
+        if self.last_frame is not None:
+            frames.append(self.last_frame)
+        if self._finishing_frame is not None:
+            frames.append(self._finishing_frame)
+        for f in frames:
+            if id(f) in seen or f.landmark_idx is None:
+                continue
+            seen.add(id(f))
+            f.landmark_idx = ms.remap_landmark_refs(f.landmark_idx, lm_o2n)
+        if self.loop_closer is not None:
+            from ..map import keyframe_database as kdb
+            olds = np.nonzero(live)[0]
+            perm = np.zeros((self.state.K,), np.int32)
+            perm[:len(olds)] = olds
+            new_live = np.arange(self.state.K) < len(olds)
+            self.loop_closer.db = kdb.db_permute(
+                self.loop_closer.db, jnp.asarray(perm), jnp.asarray(new_live))
+            hyp = self.loop_closer._hyp
+            if hyp is not None:
+                c, q = int(kf_map[hyp["cand"]]), int(kf_map[hyp["q_last"]])
+                if c < 0 or q < 0:
+                    self.loop_closer._hyp = None
+                else:
+                    hyp["cand"], hyp["q_last"] = c, q
+        self._on_compaction(kf_map)
+
+    def _on_compaction(self, kf_old2new: np.ndarray):
+        """Hook: subclasses remap their own keyframe-id bookkeeping (the
+        inertial system rebuilds its preintegration chain here)."""
 
 
 def frame_inliers(frame) -> int:

@@ -72,6 +72,15 @@ class TrackerConfig:
                                        # src/Tracking.cc:2273,2287)
     min_kfs_keep_map: int = 10  # on LOST: reset map if younger, else new
                                 # Atlas map (src/Tracking.cc:2302-2308)
+    timestamp_jump_s: float = 1.0   # frame-timestamp gap (or any backwards
+                                    # jump) that spawns a fresh Atlas map
+                                    # (reference CreateMapInAtlas on dt jump,
+                                    # src/Tracking.cc:2040-2086); <=0 disables
+    insert_kfs_when_lost: bool = False  # with IMU: keep inserting keyframes
+                                        # from predicted poses while
+                                        # RECENTLY_LOST so the inertial chain
+                                        # bridges the visual outage
+                                        # (reference IMU.InsertKFsWhenLost)
     init_depth_scale: bool = True     # rescale init map to median depth 1
     init_sigma_px: float = 1.0    # two-view RANSAC measurement sigma (pixels,
                                   # reference TwoViewReconstruction sigma=1.0)
@@ -100,6 +109,7 @@ class FrameData:
     R_cw: Optional[jnp.ndarray] = None
     t_cw: Optional[jnp.ndarray] = None
     landmark_idx: Optional[jnp.ndarray] = None
+    invd: Optional[jnp.ndarray] = None   # [N] stereo inverse depth (<=0 none)
 
 
 # ---------------------------------------------------------------------------
@@ -203,9 +213,13 @@ def _init_map_kernel(state: ms.MapState, f0_kpts, f0_rays, f0_desc, f0_valid,
     return state, lm_idx1, scale
 
 
-def _ba_window_args(state: ms.MapState, window_ids, opt_mask):
+def _ba_window_args(state: ms.MapState, window_ids, opt_mask, bf=None):
     """Build a BAProblem over the given keyframe window using ALL keypoint
-    slots as (padded) edges and the global landmark table."""
+    slots as (padded) edges and the global landmark table.
+
+    Edge layout is keyframe-major (edge rows [k*N, (k+1)*N) belong to window
+    keyframe k) — the contract solve_ba's kf_major=True fast path relies on;
+    do not reorder or re-pad without dropping that flag."""
     Kw = window_ids.shape[0]
     N = state.N
     L = state.L
@@ -229,22 +243,25 @@ def _ba_window_args(state: ms.MapState, window_ids, opt_mask):
         cam_params=jnp.zeros(0),  # filled by caller
         e_kf=e_kf.astype(jnp.int32), e_lm=e_lm.astype(jnp.int32),
         e_uv=e_uv, e_valid=e_valid,
-        e_info=jnp.ones((Kw * N,), jnp.float32))
+        e_info=jnp.ones((Kw * N,), jnp.float32),
+        e_invd=(None if bf is None
+                else state.kf_kpt_invd[win].reshape(-1)),
+        bf=bf)
     return prob
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))
 def _local_ba_kernel(state: ms.MapState, window_ids, opt_mask, cam_params,
-                     cam_kind, iters):
+                     cam_kind, iters, bf=None):
     return _local_ba_body(state, window_ids, opt_mask, cam_params, cam_kind,
-                          iters)
+                          iters, bf=bf)
 
 
 def _local_ba_body(state: ms.MapState, window_ids, opt_mask, cam_params,
-                   cam_kind, iters):
+                   cam_kind, iters, bf=None):
     """Local BA over a keyframe window; writes results back into the map.
     (reference Optimizer::LocalBundleAdjustment src/Optimizer.cc:1740)."""
-    prob = _ba_window_args(state, window_ids, opt_mask)._replace(
+    prob = _ba_window_args(state, window_ids, opt_mask, bf=bf)._replace(
         cam_params=cam_params)
     # lm_cap: the window can reference at most n_opt*N landmark variables;
     # compacting the Schur arrays to that bound (instead of the full padded
@@ -367,7 +384,8 @@ def _track_step_kernel(state: ms.MapState,
                        ext_matches=None, max_depth=100.0,
                        min_matches_ref_kf=15,
                        motion_rounds: int = 2, motion_iters: int = 5,
-                       local_rounds: int = 2, local_iters: int = 6):
+                       local_rounds: int = 2, local_iters: int = 6,
+                       cur_invd=None, bf=None):
     """ONE fused per-frame tracking program: frame-to-frame match -> motion-model
     pose opt -> local-map projection track -> pose opt.
 
@@ -401,7 +419,8 @@ def _track_step_kernel(state: ms.MapState,
                                        cam_kind=cam_kind,
                                        rounds=motion_rounds,
                                        iters_per_round=motion_iters,
-                                       check_cost=False)
+                                       check_cost=False,
+                                       invd=cur_invd, bf=bf)
     n_cand = jnp.sum(cand_ok.astype(jnp.int32))
     motion_ok = (n_cand >= min_matches_motion) & \
         (res_m.n_inliers >= min_inliers_track)
@@ -427,7 +446,8 @@ def _track_step_kernel(state: ms.MapState,
         res_r = pose_opt.pose_optimization(
             R_pred, t_pred, state.lm_pos[lmc], cur_kpts, okc, cam_params,
             cam_kind=cam_kind, rounds=motion_rounds,
-            iters_per_round=motion_iters, check_cost=False)
+            iters_per_round=motion_iters, check_cost=False,
+            invd=cur_invd, bf=bf)
         okr = (jnp.sum(okc.astype(jnp.int32)) >= min_matches_ref_kf) & \
             (res_r.n_inliers >= min_inliers_track)
         return (okr, res_r.R_cw, res_r.t_cw,
@@ -481,7 +501,8 @@ def _track_step_kernel(state: ms.MapState,
                                        cam_kind=cam_kind,
                                        rounds=local_rounds,
                                        iters_per_round=local_iters,
-                                       check_cost=False)
+                                       check_cost=False,
+                                       invd=cur_invd, bf=bf)
     cur_lm = jnp.where(res_l.inliers, cur_lm, -1)
     ok = res_l.n_inliers >= min_inliers_local_map
     R2 = jnp.where(ok, res_l.R_cw, R_pred)
@@ -517,7 +538,8 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
                             lidx, time, parent, cam_params, cam_kind,
                             n_opt: int, n_fixed: int, ba_iters: int,
                             run_ba: bool = True,
-                            ext_tri_ids=None, ext_tri_matches=None):
+                            ext_tri_ids=None, ext_tri_matches=None,
+                            kpt_invd=None, bf=None):
     """ONE fused keyframe-insertion program: add KF -> covisibility -> new-point
     triangulation against the top-2 covisible neighbors -> windowed local BA
     with writeback. (The reference queues the same work to its LocalMapping
@@ -532,7 +554,7 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     Returns (state, kf_id, scalars [kf_id, n_new0, n_new1, n_obs]).
     """
     state, kf_id = ms.add_keyframe(state, R, t, kpts, rays, desc, valid, lidx,
-                                   time, parent=parent)
+                                   time, parent=parent, kpt_invd=kpt_invd)
     # ONE observation-matrix build threads through neighbor selection AND the
     # fusion stage (each build is a ~1.4 ms scatter on TPU; see
     # maintenance.fuse_into_keyframe for why the slightly stale view is safe).
@@ -569,7 +591,7 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     if run_ba:
         window, opt_mask = _covis_window(state, kf_id, n_opt, n_fixed)
         state = _local_ba_body(state, window, opt_mask, cam_params, cam_kind,
-                               ba_iters)
+                               ba_iters, bf=bf)
 
     # Landmark statistics + culling at keyframe rate (reference
     # IncreaseVisible/IncreaseFound per tracked frame + MapPointCulling in
@@ -582,11 +604,15 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     from ..ops import scatterless
     found_l = scatterless.seg_any(li_kf, li_kf >= 0, state.L)
     state = mnt.update_found_visible(state, visible_l, found_l)
+    # Exact observation-count reconciliation before the cull reads them
+    # (the incremental updates drift through fusion chains; advisor finding).
+    state = mnt.recount_lm_obs(state)
     state = mnt.cull_landmarks(state)
 
     n_obs = jnp.sum((state.kf_landmark_idx[kf_id] >= 0)
                     & state.kf_kpt_valid[kf_id])
-    scalars = jnp.stack([kf_id, n_new0, n_new1, n_obs])
+    scalars = jnp.stack([kf_id, n_new0, n_new1, n_obs,
+                         state.n_kf, state.n_lm, state.lm_dropped])
     return state, scalars
 
 
@@ -667,6 +693,18 @@ def _add_keyframe_kernel(state, R, t, kpts, rays, desc, valid, lidx, time,
 def _best_covis_kernel(state: ms.MapState, kf_id, n: int):
     W = ms.covisibility(state)
     return ms.best_covisible(W, kf_id, n)
+
+
+@jax.jit
+def _rel_to_kf_kernel(state: ms.MapState, R_cw, t_cw, ref_slot):
+    """Frame pose relative to a reference keyframe: T_cr = T_cw * T_rw^-1
+    (the reference's per-frame trajectory log entry Tcr,
+    src/Tracking.cc:2697-2719)."""
+    Rr = state.kf_R_cw[ref_slot]
+    tr = state.kf_t_cw[ref_slot]
+    R_cr = R_cw @ Rr.T
+    t_cr = t_cw - R_cr @ tr
+    return R_cr, t_cr
 
 
 @jax.jit

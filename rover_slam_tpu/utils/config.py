@@ -228,13 +228,23 @@ def build_system(settings: Settings, **kw):
             # covis neighborhood, src/Tracking.cc:4190-4444) instead of
             # full-table projection: bounds per-frame work for long sequences
             # and doesn't mask loop-closing behavior with continuous implicit
-            # re-localization against the whole map.
-            local_map_only=True)
+            # re-localization against the whole map. Exposed via YAML
+            # (System.LocalMapOnly) like the reference's Settings surface;
+            # tuning evidence for the default lives in BENCH_r02/PROGRESS.
+            local_map_only=bool(_get(settings.raw, "System.LocalMapOnly",
+                                     default=1)),
+            insert_kfs_when_lost=bool(_get(settings.raw,
+                                           "IMU.InsertKFsWhenLost",
+                                           default=0)))
     # Size the device map tables to the feature stack (N keypoint slots per
     # KF must hold every extractor output; D must match its descriptors).
     kw.setdefault("desc_dim", int(_get(settings.raw, "Extractor.descDim",
                                        default=256)))
-    K_cap = int(_get(settings.raw, "System.MapKeyFrames", default=128))
+    # K=512 keyframe slots by default: with slot compaction recycling culled
+    # capacity (map_state.compact_map) this absorbs full EuRoC/TUM-VI
+    # sequences — the round-2 128-slot default saturated a third of the way
+    # into V202 (round-2 verdict weak #1).
+    K_cap = int(_get(settings.raw, "System.MapKeyFrames", default=512))
     L_cap = int(_get(settings.raw, "System.MapLandmarks",
                      default=max(8192, 16 * n_feat)))
     kw.setdefault("map_capacity", (K_cap, n_feat, L_cap))
@@ -289,6 +299,32 @@ def build_system(settings: Settings, **kw):
         raise SettingsError(f"unsupported sensor {settings.sensor}")
     if settings.load_atlas:
         from ..map import atlas
-        slam.state = atlas.load_atlas(settings.load_atlas)
-        slam.n_kf = int(slam.state.n_kf)
+        resume_atlas(slam, atlas.load_atlas(settings.load_atlas))
+    return slam
+
+
+def resume_atlas(slam, state):
+    """Resume a session from a loaded Atlas state (reference LoadAtlas,
+    src/System.cc:156-206): rebuild the place-recognition database over the
+    loaded keyframes, register their identities, and continue mapping in a
+    FRESH active map — the loaded maps are welded back in when place
+    recognition fires a cross-map merge (LoopClosing::MergeLocal path)."""
+    from ..map import atlas as atlas_mod
+    slam.state = atlas_mod.create_new_map(state)
+    slam.n_kf = int(slam.state.n_kf)
+    act = np.asarray(slam.state.kf_active)
+    for s in np.nonzero(act[:slam.n_kf])[0]:
+        slam._assign_uid(int(s))
+    if slam.loop_closer is not None:
+        from ..map import keyframe_database as kdb
+        slam.loop_closer.db = kdb.db_build_from_state(
+            slam.loop_closer.db, slam.state.kf_desc,
+            slam.state.kf_kpt_valid, slam.state.kf_active)
+    # Inertial bookkeeping: raw preintegration history is not checkpointed
+    # (the reference's loaded keyframes likewise re-enter the inertial chain
+    # only through the new session's measurements) — restart the chain at
+    # the next keyframe of the fresh map.
+    if hasattr(slam, "_kf_preints"):
+        slam._kf_preints = []
+        slam._kf_base = slam.n_kf
     return slam

@@ -55,3 +55,35 @@ def test_ate_after_loop(loop_run):
     rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
     # ~33 m path around the orbit; mono drift corrected by the loop.
     assert rmse < 0.5, f"ATE RMSE {rmse:.3f} m"
+
+
+def test_loop_corrects_logged_history(loop_run):
+    """Trajectory reconstitution (reference SaveTrajectoryEuRoC semantics,
+    /root/reference/src/System.cc:730-1124): frames logged BEFORE the loop
+    fired must come out corrected, because their poses are composed from
+    (ref-KF, T_cr) against the ref keyframe's post-correction pose — the
+    absolute poses logged at track time keep their pre-loop drift."""
+    slam, (R_gt, t_gt, times) = loop_run
+    assert slam.loop_events, "no loop fired"
+    loop_kf, _ = slam.loop_events[0]
+    # Only score frames tracked BEFORE the correction fired.
+    t_loop = float(slam.state.kf_time[min(loop_kf, slam.n_kf - 1)])
+    gt_pos = np.stack([-R_gt[i].T @ t_gt[i] for i in range(len(times))])
+
+    def ate(recon):
+        est_t, est_R, est_tcw = slam.get_trajectory(reconstitute=recon)
+        keep = est_t <= t_loop
+        est_pos = np.stack([-est_R[i].T @ est_tcw[i]
+                            for i in range(len(est_t))])
+        pairs = trajectory.associate_by_time(est_t[keep], times)
+        e = np.stack([est_pos[np.nonzero(keep)[0][i]] for i, _ in pairs])
+        g = np.stack([gt_pos[j] for _, j in pairs])
+        return trajectory.ate_rmse(e, g, with_scale=True)[0]
+
+    rmse_recon = ate(True)
+    rmse_abs = ate(False)
+    assert rmse_recon <= rmse_abs * 1.02, \
+        f"reconstitution did not help: {rmse_recon:.4f} vs abs {rmse_abs:.4f}"
+    # The pre-loop segment must benefit measurably from the correction.
+    assert rmse_recon < rmse_abs * 0.9 or rmse_recon < 0.05, \
+        f"pre-loop frames uncorrected: recon {rmse_recon:.4f} abs {rmse_abs:.4f}"
