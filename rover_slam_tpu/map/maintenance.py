@@ -236,20 +236,22 @@ def fuse_into_keyframe(state: ms.MapState, kf_id, cam_params,
     return state, jnp.sum(dup), jnp.sum(add)
 
 
-@jax.jit
-def recount_lm_obs(state: ms.MapState) -> ms.MapState:
+def recount_lm_obs(state: ms.MapState, obs=None) -> ms.MapState:
     """Exact landmark observation counts = column sums of the observation
     matrix. Run on the keyframe-insert cadence to reconcile any drift the
     incremental updates accumulate through fusion chains (advisor finding:
     table[table] chain compression can credit an absorbed count to a landmark
-    that is itself absorbed in the same pass)."""
-    obs = ms.observation_matrix(state)
+    that is itself absorbed in the same pass). obs: optional precomputed
+    observation matrix (the insert kernel shares one build across stages)."""
+    if obs is None:
+        obs = ms.observation_matrix(state)
     return state.replace(lm_n_obs=jnp.sum(obs, axis=0).astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("n_obs_kfs",))
 def update_distinctive_descriptors(state: ms.MapState, kf_id,
-                                   n_obs_kfs: int = 12) -> ms.MapState:
+                                   n_obs_kfs: int = 12,
+                                   obs=None) -> ms.MapState:
     """Recompute the representative descriptor of every landmark observed by
     keyframe kf_id as the observation descriptor with the minimum MEDIAN
     L2 distance to the other observations of that landmark (reference
@@ -271,9 +273,14 @@ def update_distinctive_descriptors(state: ms.MapState, kf_id,
     t_valid = (li >= 0) & state.kf_kpt_valid[kf_id] \
         & state.lm_active[touched]
 
-    # Observer candidate set: kf_id + top covisible neighbors.
-    W = ms.covisibility(state)
-    nbr_ids, nbr_w = ms.best_covisible(W, kf_id, O - 1)
+    # Observer candidate set: kf_id + top covisible neighbors (reuse the
+    # caller's observation matrix when given — each build is a ~ms scatter).
+    if obs is None:
+        obs = ms.observation_matrix(state)
+    w_row = obs @ obs[kf_id]
+    w_row = w_row.at[kf_id].set(0.0)
+    nbr_w, nbr_ids = jax.lax.top_k(w_row, O - 1)
+    nbr_ids = jnp.where(nbr_w > 0, nbr_ids, -1).astype(jnp.int32)
     obs_kfs = jnp.concatenate([kf_id[None].astype(jnp.int32), nbr_ids])
     obs_ok = jnp.concatenate([jnp.ones((1,), bool), nbr_ids >= 0])
     ok_c = jnp.clip(obs_kfs, 0, K - 1)

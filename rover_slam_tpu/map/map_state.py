@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import flax.struct
@@ -304,7 +306,7 @@ def _pack_indices(keep: jnp.ndarray):
     return old_of_new, new_live, old2new
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def compact_map(state: MapState):
     """Pack active keyframes/landmarks to the front of their tables, freeing
     the slots of culled entries for reuse.

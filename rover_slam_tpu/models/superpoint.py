@@ -172,17 +172,24 @@ class SuperPointExtractor:
             dummy = jnp.zeros((1, image_hw[0], image_hw[1], 1), jnp.float32)
             params = self.model.init(rng, dummy)["params"]
         self.params = params
-        self._forward = jax.jit(self.model.apply)
+
+        # ONE jitted program: VGG forward + NMS/top-K/descriptor sampling —
+        # the eager post-process cost more host dispatch time than the whole
+        # net's device time (see models/lightglue.py for the same fix).
+        def _fwd(params, images):
+            prob, desc_coarse = self.model.apply({"params": params}, images)
+            return extract_keypoints(prob, desc_coarse,
+                                     max_keypoints=self.max_keypoints,
+                                     nms_radius=self.nms_radius,
+                                     score_threshold=self.score_threshold)
+
+        self._forward = jax.jit(_fwd)
 
     def __call__(self, images: jnp.ndarray):
         """images: [B,H,W] or [B,H,W,1] grayscale in [0,1]."""
         if images.ndim == 3:
             images = images[..., None]
-        prob, desc_coarse = self._forward({"params": self.params}, images)
-        return extract_keypoints(prob, desc_coarse,
-                                 max_keypoints=self.max_keypoints,
-                                 nms_radius=self.nms_radius,
-                                 score_threshold=self.score_threshold)
+        return self._forward(self.params, images)
 
 
 # ---------------------------------------------------------------------------

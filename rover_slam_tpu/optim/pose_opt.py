@@ -115,6 +115,10 @@ def pose_optimization(R_cw, t_cw, Xw, uv, valid, cam_params,
             # LAPACK loop on TPU — fatal inside this 40-iteration-per-frame
             # scan (blockinv.py).
             dx = -solve6(Hd, b)
+            # A degenerate system (e.g. zero inliers while lost) must not
+            # poison the pose with non-finite values — they would propagate
+            # through the motion model into every subsequent prediction.
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
             dR, dt = lie.se3_exp(dx)
             R_new = lie.normalize_rotation(dR @ R)
             t_new = dR @ t + dt

@@ -40,10 +40,14 @@ def put_global(arr, mesh: Mesh, spec: P):
     """Build a global (possibly non-fully-addressable) device array from a
     full host-local copy. Every process holds the same full `arr` (the SLAM
     host state is replicated across hosts); each contributes only the shards
-    its devices own."""
+    its devices own. None fields (optional problem extensions, e.g. the
+    stereo observations) pass through untouched."""
+    if arr is None:
+        return None
     arr = np.asarray(arr)
     return jax.make_array_from_callback(
-        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx])
+        arr.shape, NamedSharding(mesh, spec if spec is not None else P()),
+        lambda idx: arr[idx])
 
 
 def put_problem(prob: ba_mod.BAProblem, mesh: Mesh,
@@ -57,7 +61,8 @@ def put_problem(prob: ba_mod.BAProblem, mesh: Mesh,
         R_cw=P(), t_cw=P(), pose_opt_mask=P(), lm_pos=P(), lm_opt_mask=P(),
         cam_params=P(),
         e_kf=P(axis), e_lm=P(axis), e_uv=P(axis), e_valid=P(axis),
-        e_info=P(axis))
+        e_info=P(axis), e_invd=(None if prob.e_invd is None else P(axis)),
+        bf=(None if prob.bf is None else P()))
     return ba_mod.BAProblem(*[put_global(a, mesh, s)
                               for a, s in zip(prob, specs)])
 
@@ -80,7 +85,9 @@ def solve_ba_multihost(prob: ba_mod.BAProblem, mesh: Mesh | None = None,
             R_cw=P(), t_cw=P(), pose_opt_mask=P(),
             lm_pos=P(axis), lm_opt_mask=P(axis), cam_params=P(),
             e_kf=P(axis), e_lm=P(axis), e_uv=P(axis), e_valid=P(axis),
-            e_info=P(axis))
+            e_info=P(axis),
+            e_invd=(None if prob.e_invd is None else P(axis)),
+            bf=(None if prob.bf is None else P()))
         gprob = ba_mod.BAProblem(*[put_global(a, mesh, s)
                                    for a, s in zip(prob, specs)])
         return sharded_ba._solve_partitioned_lm(gprob, mesh, Ls, **kw)

@@ -57,6 +57,9 @@ def solve_ba_sharded(prob: ba_mod.BAProblem, mesh: Mesh,
     Returns (R_cw, t_cw, lm_pos, cost_history). Numerics match
     optim.ba.solve_ba(solver='pcg') up to reduction order.
     """
+    # Distributed solves run the 2-dim mono rows only for now: strip the
+    # optional stereo extension (single-chip solve_ba carries it).
+    prob = prob._replace(e_invd=None, bf=None)
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     prob = pad_edges_to(prob, n_dev)
@@ -261,6 +264,9 @@ def solve_ba_sharded_lm(prob: ba_mod.BAProblem, mesh: Mesh,
 
     Returns (R_cw, t_cw, lm_pos [padded to shards*Ls], cost_history).
     """
+    # Distributed solves run the 2-dim mono rows only for now: strip the
+    # optional stereo extension (single-chip solve_ba carries it).
+    prob = prob._replace(e_invd=None, bf=None)
     prob, Ls = partition_by_landmark(prob, mesh.devices.size)
     return _solve_partitioned_lm(prob, mesh, Ls, cam_kind=cam_kind,
                                  iters=iters, cg_iters=cg_iters,

@@ -67,9 +67,70 @@ class LoopConfig:
     merge_rounds: int = 2
 
 
+@functools.partial(jax.jit, static_argnames=("n_best", "gap"))
+def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
+                           gap: int):
+    """ONE fused device program for the per-keyframe place-recognition step:
+    BoW transform + covisibility + candidate gating + database insert
+    (reference KeyFrameDatabase::add + DetectNBestCandidates_sp). The
+    previous host orchestration dispatched these as ~5 eager ops per
+    keyframe; on a tunneled TPU each eager dispatch+fetch boundary costs
+    ~25 ms of round trips — the loop closer dominated the frame budget
+    without ever firing a loop."""
+    desc = state.kf_desc[kf_id].astype(jnp.float32)
+    valid = state.kf_kpt_valid[kf_id]
+    query_tf = kdb.bow_transform(db.vocab, desc, valid)
+    W = ms.covisibility(state)
+    same_map = state.kf_map_id == state.kf_map_id[kf_id]
+    connected = (W[kf_id] > 0) | \
+        ((jnp.arange(state.K) >= kf_id - gap) & same_map)
+    ids, scores = kdb.detect_candidates(db, query_tf, W, kf_id, connected,
+                                        n_best=n_best)
+    db2 = kdb.db_add(db, kf_id, desc, valid)
+    return db2, ids, scores
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind", "fix_scale"))
+def _sim3_candidates_kernel(state: ms.MapState, kf_q, cand_ids, cam_params,
+                            key, cam_kind: int, fix_scale: bool):
+    """Sim3 verification of ALL candidate keyframes in one vmapped program
+    (reference runs Sim3Solver RANSAC per candidate on the CPU,
+    src/LoopClosing.cc:1386-1400). Returns per-candidate
+    (n_match, success, n_inliers, s, R, t) so the host makes its accept
+    decision from ONE scalar fetch."""
+    B = cand_ids.shape[0]
+    keys = jax.random.split(key, B)
+
+    def one(c, k):
+        cc = jnp.clip(c, 0, state.K - 1)
+        res, n_match = _sim3_between_kfs_body(
+            state, kf_q, cc, cam_params, k, cam_kind, fix_scale, None)
+        ok = res.success & (c >= 0)
+        return (n_match.astype(jnp.int32), ok,
+                res.n_inliers.astype(jnp.int32), res.s, res.R, res.t)
+
+    def run(_):
+        return jax.vmap(one)(cand_ids, keys)
+
+    def skip(_):
+        return (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+                jnp.zeros((B,), jnp.int32), jnp.ones((B,), jnp.float32),
+                jnp.tile(jnp.eye(3)[None], (B, 1, 1)), jnp.zeros((B, 3)))
+
+    # Most keyframes have no candidates: skip the vmapped RANSAC entirely
+    # (lax.cond executes only the taken branch).
+    return jax.lax.cond(jnp.any(cand_ids >= 0), run, skip, None)
+
+
 @functools.partial(jax.jit, static_argnames=("cam_kind", "fix_scale"))
 def _sim3_between_kfs(state: ms.MapState, kf_q, kf_c, cam_params, key,
                       cam_kind: int, fix_scale: bool, ext_matches=None):
+    return _sim3_between_kfs_body(state, kf_q, kf_c, cam_params, key,
+                                  cam_kind, fix_scale, ext_matches)
+
+
+def _sim3_between_kfs_body(state: ms.MapState, kf_q, kf_c, cam_params, key,
+                           cam_kind: int, fix_scale: bool, ext_matches=None):
     """Match landmark-bearing keypoints of two keyframes and solve a Sim3
     (reference DetectCommonRegionsFromBoW_sp: SearchByBoWSP + Sim3Solver).
 
@@ -526,33 +587,84 @@ class LoopCloser:
         return "se3" if self.cfg.fix_scale else "sim3"
 
     def on_keyframe(self, state: ms.MapState, kf_id: int):
-        """Process a new keyframe. Returns (state, info dict)."""
-        info = {"loop": False}
-        desc = state.kf_desc[kf_id].astype(jnp.float32)
-        valid = state.kf_kpt_valid[kf_id]
-        query_tf = kdb.bow_transform(self.db.vocab, desc, valid)
+        """Process a new keyframe. Returns (state, info dict).
 
-        W = ms.covisibility(state)
-        # Recency exclusion applies within the ACTIVE map only: keyframes of
-        # stored maps are merge candidates regardless of slot adjacency
-        # (reference splits same-map loop vs cross-map merge candidates,
-        # KeyFrameDatabase::DetectNBestCandidates_sp :658-830).
-        same_map = state.kf_map_id == state.kf_map_id[kf_id]
-        connected = (W[kf_id] > 0) | \
-            ((jnp.arange(state.K) >= kf_id - self.cfg.min_recent_kfs_gap)
-             & same_map)
-        ids, scores = kdb.detect_candidates(self.db, query_tf, W, kf_id,
-                                            connected,
-                                            n_best=self.cfg.n_candidates)
-        self.db = kdb.db_add(self.db, kf_id, desc, valid)
+        Fast path: place recognition + database insert is ONE fused device
+        program (_detect_and_add_kernel), Sim3 verification of all
+        candidates a second vmapped one — the host pays a single scalar
+        fetch per keyframe instead of ~8 eager dispatch/sync boundaries
+        (~25 ms each through a tunneled TPU)."""
+        info = {"loop": False}
+        self.db, ids, scores = _detect_and_add_kernel(
+            state, self.db, jnp.asarray(kf_id, jnp.int32),
+            self.cfg.n_candidates, self.cfg.min_recent_kfs_gap)
 
         # --- hypothesis alive: only try to re-confirm it (reference skips
         # database detection while mnLoopNumCoincidences > 0, :452-475) ---
         if self._hyp is not None:
+            self._pending_cand = None
             return self._advance_hypothesis(state, kf_id)
 
-        ids = np.asarray(ids)
-        for cand in ids:
+        if self.matcher is not None:
+            return self._on_keyframe_matcher_path(state, kf_id, ids)
+
+        # Resolve the PREVIOUS keyframe's candidate pack first: its
+        # device->host copy was started a whole keyframe ago, so reading it
+        # now never drains the pipeline (the same deferred-fetch pattern as
+        # the tracker's keyframe scalars; the reference's loop thread is
+        # asynchronous by construction).
+        fired = self._resolve_candidates(state)
+        if fired is not None:
+            return fired
+
+        self._rng, key = jax.random.split(self._rng)
+        nm, okk, ninl, s_all, R_all, t_all = _sim3_candidates_kernel(
+            state, jnp.asarray(kf_id, jnp.int32), ids, self.cam_params, key,
+            self.cfg.cam_kind, self.cfg.fix_scale)
+        pack = jnp.concatenate([ids, nm, okk.astype(jnp.int32), ninl])
+        try:
+            pack.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending_cand = (kf_id, pack, s_all, R_all, t_all)
+        return state, info
+
+    _pending_cand = None
+
+    def _resolve_candidates(self, state: ms.MapState):
+        """Read the deferred candidate pack and open a hypothesis if one
+        passed the gates. Returns (state, info) when the hypothesis fired
+        immediately (consistency_needed <= 1), else None."""
+        if self._pending_cand is None:
+            return None
+        kf_id, pack, s_all, R_all, t_all = self._pending_cand
+        self._pending_cand = None
+        p = np.asarray(pack)
+        B = self.cfg.n_candidates
+        ids_np, nm_np = p[:B], p[B:2 * B]
+        ok_np, ninl_np = p[2 * B:3 * B], p[3 * B:]
+        for j, cand in enumerate(ids_np):
+            if cand < 0:
+                continue
+            if nm_np[j] < self.cfg.min_bow_matches:
+                continue
+            if not ok_np[j] or ninl_np[j] < self.cfg.min_sim3_inliers:
+                continue
+            # Geometric verification passed: open a hypothesis. It fires once
+            # `consistency_needed` consecutive keyframes confirm it.
+            self._hyp = {"cand": int(cand), "q_last": kf_id, "count": 1,
+                         "misses": 0, "s": s_all[j], "R": R_all[j],
+                         "t": t_all[j], "n_inliers": int(ninl_np[j])}
+            if self.cfg.consistency_needed <= 1:
+                return self._fire(state, kf_id)
+            break
+        return None
+
+    def _on_keyframe_matcher_path(self, state: ms.MapState, kf_id: int, ids):
+        """Candidate verification through the learned matcher (reference
+        SearchByBoWSP LightGlue path) — per-candidate host loop."""
+        info = {"loop": False}
+        for cand in np.asarray(ids):
             if cand < 0:
                 continue
             self._rng, key = jax.random.split(self._rng)
@@ -565,8 +677,6 @@ class LoopCloser:
                 continue
             if not bool(res.success) or int(res.n_inliers) < self.cfg.min_sim3_inliers:
                 continue
-            # Geometric verification passed: open a hypothesis. It fires once
-            # `consistency_needed` consecutive keyframes confirm it.
             self._hyp = {"cand": int(cand), "q_last": kf_id, "count": 1,
                          "misses": 0, "s": res.s, "R": res.R, "t": res.t,
                          "n_inliers": int(res.n_inliers)}

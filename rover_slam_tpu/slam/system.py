@@ -57,6 +57,7 @@ class MonocularSLAM:
         self.matcher = matcher
         self.pipeline_depth = (4 if pipeline is True else int(pipeline))
         self.pipeline = self.pipeline_depth > 0
+        self.pipeline_warmup_kfs = 20   # sync until the map bootstraps
         self._pending = deque()       # FIFO of (frame, flags_future)
         self.cam_params = jnp.asarray(cam_params)
         self.bf = None   # baseline*fx (stereo/RGBD systems set it): enables
@@ -100,6 +101,8 @@ class MonocularSLAM:
         self._n_lm_used = 0
         self._kf_compact_guard = 0    # back-off counters (frames) after a
         self._lm_compact_guard = 0    # relief attempt that freed nothing
+        self._local_mask = None       # [L] local-map search mask, refreshed
+                                      # by every keyframe insert
 
     # ------------------------------------------------------------------
     def track_frame(self, kpts, rays, desc, valid, time) -> dict:
@@ -167,10 +170,19 @@ class MonocularSLAM:
                 local_iters=self.cfg.local_iters,
                 cur_invd=frame.invd,
                 bf=(None if self.bf is None
-                    else jnp.asarray(self.bf, jnp.float32)))
+                    else jnp.asarray(self.bf, jnp.float32)),
+                local_mask=self._local_mask,
+                min_inliers_weak=self.cfg.min_inliers_weak)
             frame.R_cw, frame.t_cw, frame.landmark_idx = R2, t2, cur_lm
 
-        if self.pipeline:
+        # Pipeline only AFTER the map has bootstrapped: right after
+        # initialization every frame's tracking depends on the PREVIOUS
+        # frame's keyframe triangulations, and the pipeline's one-frame
+        # insertion lag starves that feedback loop (measured: triangulation
+        # yield collapses ~100 -> ~20 new points per keyframe and tracking
+        # dies within ten frames). Steady state has hundreds of visible
+        # landmarks and tolerates the lag.
+        if self.pipeline and self.n_kf >= self.pipeline_warmup_kfs:
             # Defer the scalar fetch; keep the motion model lazily up to date
             # with device values (no sync). Start the device->host copy NOW so
             # it rides behind the already-queued compute and is resident on
@@ -203,16 +215,25 @@ class MonocularSLAM:
         # landmark ids through this handle (else the insert would register
         # stale pre-compaction ids as observations).
         self._finishing_frame = frame
-        flags = np.asarray(flags)   # single host sync per frame
+        with self.timers.stage("flags_fetch"):
+            flags = np.asarray(flags)   # single host sync per frame
         ok = bool(flags[0])
         self._last_n_inl = int(flags[1])
+        weak = len(flags) > 4 and bool(flags[4])
+        if not ok and weak:
+            # Weak-acceptance band: the optimized pose is trusted, tracking
+            # stays OK, and a keyframe is inserted urgently to feed the map
+            # (see TrackerConfig.min_inliers_weak).
+            ok = True
+            self._force_kf = True
 
         if not ok:
             self._lost_frames += 1
             if self.tracking_state != T.RECENTLY_LOST:
                 self._lost_since = frame.time
             self.tracking_state = T.RECENTLY_LOST
-            if self._lost_frames >= 2 and self.n_kf >= 2:
+            if (self._lost_frames >= 2 and self.n_kf >= 2
+                    and self._lost_frames % max(self.cfg.reloc_every, 1) == 0):
                 # Global relocalization (reference Relocalization after the
                 # RECENTLY_LOST grace window, src/Tracking.cc:4446).
                 with self.timers.stage("reloc"):
@@ -231,7 +252,11 @@ class MonocularSLAM:
                         Rr, tr, lm_r, ok_r, n_r = T._relocalize_kernel(
                             self.state, frame.kpts, frame.desc, frame.valid,
                             self.cam_params, key, self.cfg.cam_kind)
-                    if bool(ok_r):
+                    # Accept only a STRONG relocalization (reference requires
+                    # >=50 inliers after guided expansion,
+                    # src/Tracking.cc:4646-4660): a spurious accept poisons
+                    # the motion model and every in-flight prediction.
+                    if bool(ok_r) and int(n_r) >= self.cfg.min_reloc_inliers:
                         frame.R_cw, frame.t_cw = Rr, tr
                         frame.landmark_idx = lm_r
                         self.tracking_state = T.OK
@@ -293,6 +318,7 @@ class MonocularSLAM:
             self._resolve_cull_redirects()
             self._uid_of_slot[in_map_np] = -1
         self.state = atlas.create_new_map(st)
+        self._local_mask = None
         self.tracking_state = T.NO_IMAGES_YET
         self.init_frame = None
         self.velocity = None
@@ -505,12 +531,17 @@ class MonocularSLAM:
                 self._lm_compact_guard = 20   # back off
         if self.n_kf >= self.state.K:
             return False
+        if self._force_kf:
+            self._force_kf = False
+            return True
         if self.frames_since_kf < self.cfg.kf_min_interval:
             return False
         if self.frames_since_kf >= self.cfg.kf_max_interval:
             return True
         return (self._last_n_inl
                 < self.cfg.kf_tracked_ratio * max(self.ref_kf_tracked, 1))
+
+    _force_kf = False
 
     def _insert_keyframe(self, frame):
         """KF insertion + the LocalMapping work the reference queues to its
@@ -541,7 +572,7 @@ class MonocularSLAM:
                     self.state.kf_desc[jid].astype(jnp.float32),
                     self.state.kf_kpt_valid[jid])
                 ext_ids = jnp.asarray(ids, jnp.int32)
-        self.state, scalars = T._insert_keyframe_kernel(
+        self.state, scalars, self._local_mask = T._insert_keyframe_kernel(
             self.state, frame.R_cw, frame.t_cw, frame.kpts, frame.rays,
             frame.desc, frame.valid, frame.landmark_idx,
             jnp.asarray(frame.time, jnp.float32),
@@ -556,17 +587,15 @@ class MonocularSLAM:
         self.n_kf += 1
         self.frames_since_kf = 0
         kf_id_i = self.n_kf - 1
-        if self.pipeline and self.loop_closer is None:
-            try:
-                scalars.copy_to_host_async()
-            except AttributeError:
-                pass
-            self._kf_scalars = scalars   # deferred fetch (see _need_new_keyframe)
-        else:
-            sc = np.asarray(scalars)
-            self.ref_kf_tracked = int(sc[3])
-            if len(sc) > 5:
-                self._n_lm_used = int(sc[5])
+        # Deferred fetch in BOTH modes (resolved by the next
+        # _need_new_keyframe): nothing needs these scalars synchronously, and
+        # a blocking fetch here costs a full host<->device round trip per
+        # keyframe (~25 ms on a tunneled TPU).
+        try:
+            scalars.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._kf_scalars = scalars
 
         if (self.cfg.kf_cull_every > 0 and self.n_kf >= 6
                 and self.n_kf % self.cfg.kf_cull_every == 0):
@@ -580,6 +609,9 @@ class MonocularSLAM:
                 self.state, linfo = self.loop_closer.on_keyframe(self.state,
                                                                  kf_id_i)
             if linfo.get("loop"):
+                # Corrections moved landmarks / fused ids: refresh the
+                # cached search mask at the next insert.
+                self._local_mask = None
                 self.loop_events.append((kf_id_i, linfo))
             if linfo.get("merge"):
                 self._on_map_merged(kf_id_i, linfo)
@@ -738,6 +770,7 @@ class MonocularSLAM:
         st, kf_o2n, lm_o2n = ms.compact_map(self.state)
         kf_map = np.asarray(kf_o2n)            # one host sync (rare)
         self.state = st
+        self._local_mask = None   # landmark ids were renumbered
         # uid table follows the permutation; dropped slots' uids (already
         # redirected at cull time, or dead) leave the table.
         old_uid = self._uid_of_slot
@@ -767,6 +800,7 @@ class MonocularSLAM:
             new_live = np.arange(self.state.K) < len(olds)
             self.loop_closer.db = kdb.db_permute(
                 self.loop_closer.db, jnp.asarray(perm), jnp.asarray(new_live))
+            self.loop_closer._pending_cand = None   # slot ids renumbered
             hyp = self.loop_closer._hyp
             if hyp is not None:
                 c, q = int(kf_map[hyp["cand"]]), int(kf_map[hyp["q_last"]])

@@ -44,6 +44,16 @@ class TrackerConfig:
     min_matches_ref_kf: int = 15      # :3261
     min_inliers_track: int = 10       # motion-model acceptance
     min_inliers_local_map: int = 30   # :3650-3720
+    min_inliers_weak: int = 12    # weak-acceptance band [weak, local_map):
+                                  # keep the optimized pose, stay OK, and
+                                  # INSERT A KEYFRAME URGENTLY instead of
+                                  # going RECENTLY_LOST (the reference keeps
+                                  # tracking through weak stretches and its
+                                  # always-insert KF policy feeds the map
+                                  # exactly then; a hard fail here blocks
+                                  # insertion and the map can never recover
+                                  # — fatal under pipelined, delayed
+                                  # decisions)
     min_init_matches: int = 80        # :2922 (100 in ref; oracle frames are smaller)
     proj_radius: float = 15.0
     desc_th2: float = assoc.TH_HIGH ** 2
@@ -72,6 +82,14 @@ class TrackerConfig:
                                        # src/Tracking.cc:2273,2287)
     min_kfs_keep_map: int = 10  # on LOST: reset map if younger, else new
                                 # Atlas map (src/Tracking.cc:2302-2308)
+    min_reloc_inliers: int = 30  # relocalization acceptance (reference
+                                 # requires >=50 inliers after guided
+                                 # expansion, src/Tracking.cc:4646-4660; a
+                                 # spurious accept corrupts the motion model
+                                 # far worse than staying lost a few frames)
+    reloc_every: int = 2         # attempt relocalization every Nth lost
+                                 # frame (each attempt is a full-map match +
+                                 # PnP RANSAC + a blocking scalar fetch)
     timestamp_jump_s: float = 1.0   # frame-timestamp gap (or any backwards
                                     # jump) that spawns a fresh Atlas map
                                     # (reference CreateMapInAtlas on dt jump,
@@ -266,8 +284,14 @@ def _local_ba_body(state: ms.MapState, window_ids, opt_mask, cam_params,
     # lm_cap: the window can reference at most n_opt*N landmark variables;
     # compacting the Schur arrays to that bound (instead of the full padded
     # table) cuts the local-BA HBM traffic ~4x.
+    # red_solver="direct": the reduced camera system is [6*Kw, 6*Kw] (~96x96
+    # for the default window) — the closed-form recursive block inverse
+    # (blockinv.invn) is O(log n) vectorized matmuls, where the reduced-CG
+    # loop is 32 SEQUENTIAL tiny matvecs per LM step (~1.5 ms of pure
+    # latency each step; xprof showed the two LM scans as ~40% of the whole
+    # keyframe-insert program).
     res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, solver="schur",
-                      lm_cap=2048, kf_major=True)
+                      lm_cap=2048, kf_major=True, red_solver="direct")
     win = jnp.clip(window_ids, 0, state.K - 1)
     write = (opt_mask & (window_ids >= 0))
     new_R = jnp.where(write[:, None, None], res.R_cw, state.kf_R_cw[win])
@@ -385,7 +409,8 @@ def _track_step_kernel(state: ms.MapState,
                        min_matches_ref_kf=15,
                        motion_rounds: int = 2, motion_iters: int = 5,
                        local_rounds: int = 2, local_iters: int = 6,
-                       cur_invd=None, bf=None):
+                       cur_invd=None, bf=None, local_mask=None,
+                       min_inliers_weak=12):
     """ONE fused per-frame tracking program: frame-to-frame match -> motion-model
     pose opt -> local-map projection track -> pose opt.
 
@@ -473,11 +498,17 @@ def _track_step_kernel(state: ms.MapState,
         # accumulate past the projection radius until explicit loop closure —
         # and bounds per-frame work for city-scale maps. Without it the full
         # map is projected (one matmul): continuous implicit loop closure.
-        W = ms.covisibility(state)
-        nbrs = (W[ref_kf] > 0).at[ref_kf].set(True)
-        obs = ms.observation_matrix(state)          # [K, L]
-        lm_local = (nbrs.astype(jnp.float32) @ obs) > 0
-        search_mask = state.lm_active & lm_local
+        if local_mask is not None:
+            # Precomputed at the last keyframe insert (the map only changes
+            # at keyframe rate): saves an observation-matrix scatter + covis
+            # matmul per FRAME.
+            search_mask = state.lm_active & local_mask
+        else:
+            W = ms.covisibility(state)
+            nbrs = (W[ref_kf] > 0).at[ref_kf].set(True)
+            obs = ms.observation_matrix(state)          # [K, L]
+            lm_local = (nbrs.astype(jnp.float32) @ obs) > 0
+            search_mask = state.lm_active & lm_local
     else:
         search_mask = state.lm_active
     # Never project landmarks of a non-active Atlas map: after
@@ -504,12 +535,26 @@ def _track_step_kernel(state: ms.MapState,
                                        check_cost=False,
                                        invd=cur_invd, bf=bf)
     cur_lm = jnp.where(res_l.inliers, cur_lm, -1)
-    ok = res_l.n_inliers >= min_inliers_local_map
-    R2 = jnp.where(ok, res_l.R_cw, R_pred)
-    t2 = jnp.where(ok, res_l.t_cw, t_pred)
+    # Tracking success requires a FINITE pose: a lost-streak prediction can
+    # carry non-finite values, and accepting one would poison the motion
+    # model for every later frame.
+    pose_finite = (jnp.all(jnp.isfinite(res_l.R_cw))
+                   & jnp.all(jnp.isfinite(res_l.t_cw)))
+    ok = (res_l.n_inliers >= min_inliers_local_map) & pose_finite
+    # Weak band: enough inliers to trust the optimized pose, not enough to
+    # call the frame well-tracked — the host keeps OK and inserts a keyframe
+    # urgently (see TrackerConfig.min_inliers_weak).
+    # (no stage1 requirement: the local projection search can recover the
+    # frame on its own — its optimized pose over >=weak inliers beats the
+    # open-loop prediction that failing the frame would substitute)
+    weak = (res_l.n_inliers >= min_inliers_weak) & pose_finite & ~ok
+    usable = ok | weak
+    R2 = jnp.where(usable, res_l.R_cw, R_pred)
+    t2 = jnp.where(usable, res_l.t_cw, t_pred)
     flags = jnp.stack([ok.astype(jnp.int32), res_l.n_inliers,
-                       stage1_ok.astype(jnp.int32), n_cand])
-    return R2, t2, jnp.where(ok, cur_lm, -1), flags
+                       stage1_ok.astype(jnp.int32), n_cand,
+                       weak.astype(jnp.int32)])
+    return R2, t2, jnp.where(usable, cur_lm, -1), flags
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -533,7 +578,8 @@ def _top_covis_for_frame(state: ms.MapState, frame_lidx, frame_valid,
 
 @functools.partial(jax.jit,
                    static_argnames=("cam_kind", "n_opt", "n_fixed", "ba_iters",
-                                    "run_ba"))
+                                    "run_ba"),
+                   donate_argnums=(0,))
 def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
                             lidx, time, parent, cam_params, cam_kind,
                             n_opt: int, n_fixed: int, ba_iters: int,
@@ -585,8 +631,10 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     state, _, _ = mnt.fuse_into_keyframe(state, kf_id, cam_params, cam_kind,
                                          obs=obs)
     # Refresh representative descriptors of the touched landmarks (reference
-    # ComputeDistinctiveDescriptors in ProcessNewKeyFrame).
-    state = mnt.update_distinctive_descriptors(state, kf_id)
+    # ComputeDistinctiveDescriptors in ProcessNewKeyFrame). Shares the
+    # insert's observation build (slightly stale re the just-triangulated
+    # points — their descriptors were just written and need no recompute).
+    state = mnt.update_distinctive_descriptors(state, kf_id, obs=obs)
 
     if run_ba:
         window, opt_mask = _covis_window(state, kf_id, n_opt, n_fixed)
@@ -606,14 +654,26 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
     state = mnt.update_found_visible(state, visible_l, found_l)
     # Exact observation-count reconciliation before the cull reads them
     # (the incremental updates drift through fusion chains; advisor finding).
-    state = mnt.recount_lm_obs(state)
+    # ONE post-triangulation observation build is shared by the recount and
+    # the local-map mask below.
+    obs2 = ms.observation_matrix(state)
+    state = mnt.recount_lm_obs(state, obs=obs2)
     state = mnt.cull_landmarks(state)
+
+    # Local-map search mask for the tracker (reference
+    # Tracking::UpdateLocalKeyFrames/Points, src/Tracking.cc:4190-4444):
+    # landmarks seen by this keyframe's covisibility neighborhood. The map
+    # only changes at keyframe rate, so computing it HERE saves the track
+    # kernel an observation-matrix build + covis matmul EVERY FRAME.
+    w_row = obs2 @ obs2[kf_id]                            # [K]
+    nbrs = (w_row > 0).at[kf_id].set(True)
+    local_mask = ((nbrs.astype(jnp.float32) @ obs2) > 0) & state.lm_active
 
     n_obs = jnp.sum((state.kf_landmark_idx[kf_id] >= 0)
                     & state.kf_kpt_valid[kf_id])
     scalars = jnp.stack([kf_id, n_new0, n_new1, n_obs,
                          state.n_kf, state.n_lm, state.lm_dropped])
-    return state, scalars
+    return state, scalars, local_mask
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind",))
@@ -637,7 +697,10 @@ def _relocalize_kernel(state: ms.MapState, cur_kpts, cur_desc, cur_valid,
     res = pnp.pnp_ransac(state.lm_pos[m], cur_kpts, ok_m, cam_params, key,
                          cam_kind=cam_kind)
     cur_lm = jnp.where(res.inliers & ok_m, matches, -1)
-    return res.R_cw, res.t_cw, cur_lm, res.success, res.n_inliers
+    # Success requires a finite pose (a degenerate RANSAC draw must not
+    # poison the tracker's motion model).
+    finite = jnp.all(jnp.isfinite(res.R_cw)) & jnp.all(jnp.isfinite(res.t_cw))
+    return res.R_cw, res.t_cw, cur_lm, res.success & finite, res.n_inliers
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind",))
@@ -669,7 +732,9 @@ def _reloc_from_kf_matches(state: ms.MapState, cand_ids, ext_matches,
         res = pnp.pnp_ransac(state.lm_pos[lc], cur_kpts, ok_m, cam_params, k,
                              cam_kind=cam_kind)
         lm = jnp.where(res.inliers & ok_m, lm_of_cur, -1)
-        n = jnp.where(res.success & (c >= 0), res.n_inliers, -1)
+        finite = (jnp.all(jnp.isfinite(res.R_cw))
+                  & jnp.all(jnp.isfinite(res.t_cw)))
+        n = jnp.where(res.success & finite & (c >= 0), res.n_inliers, -1)
         return res.R_cw, res.t_cw, lm, n
 
     keys = jax.random.split(key, B)

@@ -25,7 +25,7 @@ CALIB = pre.ImuCalib(
 def vi_run():
     world = synthetic.ring_world(n_landmarks=6000, desc_dim=64, seed=0)
     R_gt, t_gt, times, v_gt, imu = synthetic.orbit_with_imu(
-        n_frames=50, revs=0.5, dt=0.1)
+        n_frames=120, revs=1.2, dt=0.1)
     frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=512,
                                        pix_noise=0.5, desc_noise=0.05)
     slam = MonocularInertialSLAM(world.cam_params, CALIB, tinit_s=1.5,
@@ -67,9 +67,13 @@ def test_metric_scale_recovered(vi_run):
     rmse_noscale, _ = trajectory.ate_rmse(e, g, with_scale=False)
     rmse_scale, _ = trajectory.ate_rmse(e, g, with_scale=True)
     # Metric (no scale alignment) ATE proves gravity/scale recovery.
-    # NOTE round-2: a refine/tracking interaction can destabilize longer runs
-    # (~60+ frames); see inertial_system._refine_scale.
-    assert rmse_noscale < 0.5, f"metric ATE {rmse_noscale:.3f} m"
+    # Round-3: the refine/tracking destabilization is FIXED (body state is
+    # re-derived from the last frame after alignment,
+    # inertial_system._refine_scale) — the run is 120 frames (was 50, capped
+    # under the old bug) and the bound is ratcheted from 0.5 to the <10 cm
+    # class: measured 4.6 cm metric at 120 frames on TPU, 10.5 cm on the CPU
+    # backend (different matmul/rounding paths through the VI chain).
+    assert rmse_noscale < 0.15, f"metric ATE {rmse_noscale:.3f} m"
     assert rmse_noscale < 3.0 * rmse_scale + 0.1
 
 

@@ -62,8 +62,9 @@ def test_ate(run_result):
     e = np.stack([est_pos[i] for i, _ in pairs])
     g = np.stack([gt_pos[j] for _, j in pairs])
     rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
-    # Path length ~2.4m; require cm-level ATE on clean synthetic data.
-    assert rmse < 0.05, f"ATE RMSE {rmse:.4f} m"
+    # Path length ~2.4m. Ratcheted from 0.05 (round-3, verdict item 8):
+    # measured 0.68 cm TPU / 0.81 cm CPU; bound = measured + ~2x margin.
+    assert rmse < 0.02, f"ATE RMSE {rmse:.4f} m"
 
 
 def test_stage_timers_populated(run_result):

@@ -54,7 +54,9 @@ def test_ate_after_loop(loop_run):
     g = np.stack([gt_pos[j] for _, j in pairs])
     rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
     # ~33 m path around the orbit; mono drift corrected by the loop.
-    assert rmse < 0.5, f"ATE RMSE {rmse:.3f} m"
+    # Ratcheted from 0.5 (round-3): measured 1.04 cm on TPU with the PCG
+    # pose graph; bound = measured + ~4x margin.
+    assert rmse < 0.05, f"ATE RMSE {rmse:.3f} m"
 
 
 def test_loop_corrects_logged_history(loop_run):

@@ -64,6 +64,9 @@ def test_metric_no_alignment(si_run):
     g = np.stack([gt_pos[j] for _, j in pairs])
     rmse, _ = trajectory.ate_rmse(e, g, with_scale=False)
     rmse_s, _ = trajectory.ate_rmse(e, g, with_scale=True)
-    assert rmse < 0.15, f"stereo-inertial metric ATE {rmse:.3f} m"
+    # Ratcheted from 0.15 (round-3): stereo observations are now 3-dim
+    # solver residuals in every optimizer; stereo system measured 0.93 cm
+    # metric on TPU.
+    assert rmse < 0.08, f"stereo-inertial metric ATE {rmse:.3f} m"
     # Metric: scale alignment must not help much.
     assert rmse < 1.5 * rmse_s + 0.02
