@@ -60,7 +60,7 @@ def save_atlas(state: ms.MapState, path: str, metadata: dict | None = None):
     os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
     digest = _sha256(path)
     with open(path + ".meta.json", "w") as f:
-        json.dump({"sha256": digest, "version": 1,
+        json.dump({"sha256": digest, "version": 2,
                    **(metadata or {})}, f)
     return digest
 
@@ -81,6 +81,12 @@ def load_atlas(path: str, verify: bool = True) -> ms.MapState:
     # Forward-compat: scalar counters added after a checkpoint was written
     # default to zero (array fields are structural and must be present).
     kwargs.setdefault("lm_dropped", jnp.zeros((), jnp.int32))
+    # Back-compat (version 1 checkpoints, pre stereo inverse depth): default
+    # kf_kpt_invd to "no right-eye observation" everywhere; shape matches the
+    # per-keypoint valid table.
+    if "kf_kpt_invd" not in kwargs:
+        kwargs["kf_kpt_invd"] = jnp.full(kwargs["kf_kpt_valid"].shape, -1.0,
+                                         jnp.float32)
     return ms.MapState(**kwargs)
 
 

@@ -47,7 +47,7 @@ class BAProblem(NamedTuple):
     # baseline*fx. Edges with e_invd>0 become the reference's 3-dim
     # (u_L, v_L, u_R) stereo edges with chi2 gate 7.815
     # (EdgeStereoSE3ProjectXYZ, include/G2oTypes.h:497-575): for rectified
-    # pinhole the third residual is exactly u_R - u_R_hat = r_u +
+    # pinhole the third residual is exactly u_R - u_R_hat = r_u -
     # bf*(invd_meas - 1/z_hat); for fisheye (KB8) the rectified identity
     # does not hold and the third residual is the pure weighted
     # inverse-depth term bf*(invd_meas - 1/z_hat) (right-cam constraint in
@@ -88,10 +88,12 @@ def _edge_terms(cam_kind, prob: BAProblem, R, t, X):
         z = jnp.maximum(Xc[..., 2], 1e-6)
         has3 = (prob.e_invd > 0).astype(jnp.float32)
         rect = 1.0 if cam_kind == cameras.PINHOLE else 0.0
-        r3 = rect * e[:, 0] + prob.bf * (prob.e_invd - 1.0 / z)
-        # dr3/dXc = rect*du-residual/dXc + [0,0,bf/z^2]
+        # u_R_meas - u_R_hat = (u_L_meas - bf*invd) - (u_L_hat - bf/z)
+        #                    = e_u - bf*(invd - 1/z)
+        r3 = rect * e[:, 0] - prob.bf * (prob.e_invd - 1.0 / z)
+        # dr3/dXc = rect*du-residual/dXc - [0,0,bf/z^2]
         ez = jnp.zeros_like(G[:, :1, :]).at[:, 0, 2].set(prob.bf / (z * z))
-        G3 = rect * G[:, :1, :] + ez
+        G3 = rect * G[:, :1, :] - ez
         e = jnp.concatenate([e, (has3 * r3)[:, None]], axis=1)
         G = jnp.concatenate([G, has3[:, None, None] * G3], axis=1)
     hatX = lie.so3_hat(Xc)

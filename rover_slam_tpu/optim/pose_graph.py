@@ -105,7 +105,7 @@ def _edge_residual(xi_i, xi_j, s_i, R_i, t_i, s_j, R_j, t_j,
                                              "pcg_iters"))
 def optimize_essential_graph(prob: PoseGraphProblem, iters: int = 20,
                              lam: float = 1e-6, fix_scale: bool = False,
-                             pcg_iters: int = 48):
+                             pcg_iters: int = 0):
     """Gauss-Newton over Sim3 poses. Returns (s, R, t, cost_history).
 
     fix_scale: lock every vertex's scale at its current value (the reference's
@@ -113,6 +113,13 @@ def optimize_essential_graph(prob: PoseGraphProblem, iters: int = 20,
     _fix_scale; src/Optimizer.cc:4509 callers)."""
     K = prob.s.shape[0]
     E = prob.e_i.shape[0]
+    # Block-Jacobi PCG propagates information ~one graph hop per iteration;
+    # on chain-dominated essential graphs the iteration budget must scale
+    # with the graph size or loop corrections under-converge at large K
+    # (48 is the small-graph floor; K is a static shape so this stays a
+    # trace-time constant).
+    if pcg_iters <= 0:
+        pcg_iters = max(48, K // 2)
     pmask = prob.opt_mask.astype(jnp.float32)
 
     zero = jnp.zeros(7)
@@ -201,11 +208,13 @@ def _residual_4dof(x_i, x_j, R_i, t_i, R_j, t_j, R_m, t_m):
 
 @functools.partial(jax.jit, static_argnames=("iters", "pcg_iters"))
 def optimize_pose_graph_4dof(prob: PoseGraphProblem, iters: int = 20,
-                             lam: float = 1e-6, pcg_iters: int = 48):
+                             lam: float = 1e-6, pcg_iters: int = 0):
     """4-DoF (yaw + translation) pose graph for inertial maps
     (reference OptimizeEssentialGraph4DoF src/Optimizer.cc:4852). Uses the
     PoseGraphProblem edge measurements' (R, t) parts; scales are ignored."""
     K = prob.R.shape[0]
+    if pcg_iters <= 0:
+        pcg_iters = max(48, K // 2)   # see optimize_essential_graph
     pmask = prob.opt_mask.astype(jnp.float32)
     zero = jnp.zeros(4)
 

@@ -51,9 +51,10 @@ def _residual_jac(R, t, cam_kind, cam_params, Xw, uv, invd=None, bf=None):
         z = jnp.maximum(Xc[..., 2], 1e-6)
         has3 = (invd > 0).astype(jnp.float32)
         rect = 1.0 if cam_kind == cameras.PINHOLE else 0.0
-        r3 = rect * e[:, 0] + bf * (invd - 1.0 / z)
+        # r3 = u_R_meas - u_R_hat = e_u - bf*(invd - 1/z) (see ba._edge_terms)
+        r3 = rect * e[:, 0] - bf * (invd - 1.0 / z)
         ez = jnp.zeros_like(G[:, :1, :]).at[:, 0, 2].set(bf / (z * z))
-        G3 = rect * G[:, :1, :] + ez
+        G3 = rect * G[:, :1, :] - ez
         e = jnp.concatenate([e, (has3 * r3)[:, None]], axis=1)
         G = jnp.concatenate([G, has3[:, None, None] * G3], axis=1)
     # dXc/d(rho) = I ; dXc/d(phi) = -hat(Xc)

@@ -47,6 +47,20 @@ def pad_edges_to(prob: ba_mod.BAProblem, multiple: int) -> ba_mod.BAProblem:
     )
 
 
+def _strip_stereo_rows(prob: ba_mod.BAProblem) -> ba_mod.BAProblem:
+    """The sharded kernels carry 2-dim mono rows only; surface the drop —
+    a stereo system running post-loop global BA through this path loses its
+    metric scale constraint for that pass (route stereo GBA to the
+    single-chip optim.ba.solve_ba to keep it)."""
+    if prob.e_invd is not None:
+        import warnings
+        warnings.warn(
+            "sharded BA: stereo (3-dim) rows stripped — metric scale is "
+            "unconstrained in this distributed pass; use the single-chip "
+            "solver for stereo global BA.", stacklevel=3)
+    return prob._replace(e_invd=None, bf=None)
+
+
 def solve_ba_sharded(prob: ba_mod.BAProblem, mesh: Mesh,
                      cam_kind: int = cameras.PINHOLE,
                      iters: int = 10, cg_iters: int = 20,
@@ -59,7 +73,7 @@ def solve_ba_sharded(prob: ba_mod.BAProblem, mesh: Mesh,
     """
     # Distributed solves run the 2-dim mono rows only for now: strip the
     # optional stereo extension (single-chip solve_ba carries it).
-    prob = prob._replace(e_invd=None, bf=None)
+    prob = _strip_stereo_rows(prob)
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     prob = pad_edges_to(prob, n_dev)
@@ -266,7 +280,7 @@ def solve_ba_sharded_lm(prob: ba_mod.BAProblem, mesh: Mesh,
     """
     # Distributed solves run the 2-dim mono rows only for now: strip the
     # optional stereo extension (single-chip solve_ba carries it).
-    prob = prob._replace(e_invd=None, bf=None)
+    prob = _strip_stereo_rows(prob)
     prob, Ls = partition_by_landmark(prob, mesh.devices.size)
     return _solve_partitioned_lm(prob, mesh, Ls, cam_kind=cam_kind,
                                  iters=iters, cg_iters=cg_iters,

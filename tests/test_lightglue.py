@@ -70,7 +70,8 @@ def test_log_assignment_is_distribution(matcher):
     rng = np.random.default_rng(11)
     k0, d0, m0 = rand_inputs(rng)
     k1, d1, m1 = rand_inputs(rng)
-    la, z0, z1 = matcher._forward({"params": matcher.params}, k0, d0, m0, k1, d1, m1)
+    la, z0, z1 = matcher.model.apply({"params": matcher.params},
+                                     k0, d0, m0, k1, d1, m1)
     P = np.exp(np.asarray(la[0, :64, :64]))
     assert (P >= 0).all() and (P <= 1 + 1e-5).all()
     # Row mass = P(match) + P(unmatched) should be ~sigmoid decomposition <= 1.
