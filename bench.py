@@ -74,20 +74,42 @@ def main():
     print(f"# rendered {F} frames in {time.perf_counter()-t_r:.0f}s",
           file=sys.stderr)
 
-    ext = SuperPointExtractor(image_hw=(H, W), max_keypoints=NK)
+    # In-env-trained weights (training/superpoint_train.py + lightglue_
+    # train.py on the synthetic photo world): with them, SuperPoint
+    # descriptors actually match, LightGlue DRIVES the tracker/loop closer,
+    # and place recognition runs on meaningful features. Without them
+    # (fresh clone before training) the nets run random weights and the
+    # tracker falls back to in-kernel mutual-NN.
+    from rover_slam_tpu.training import checkpoints as ckpt
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "rover_slam_tpu", "assets")
+    sp_path = os.path.join(base, "superpoint_synth.npz")
+    lg_path = os.path.join(base, "lightglue_synth.npz")
+    sp_params = ckpt.load_params(sp_path) if os.path.exists(sp_path) else None
+    lg_params = ckpt.load_params(lg_path) if os.path.exists(lg_path) else None
+    trained = sp_params is not None and lg_params is not None
+
+    ext = SuperPointExtractor(params=sp_params, image_hw=(H, W),
+                              max_keypoints=NK)
     matcher = LightGlueFrameMatcher(
-        LightGlueMatcher(num_kpts=NK, num_layers=9), (H, W))
+        LightGlueMatcher(params=lg_params, num_kpts=NK, num_layers=9,
+                         threshold=0.1 if trained else 0.0), (H, W))
     # kf_cull_every=0: the 512-slot table absorbs this sequence without
     # recycling (capacity-pressure relief stays armed as the backstop); the
     # aggressive per-4-KF redundancy cull thinned the local map at the
     # KF-per-frame cadence this scene produces.
     cfg = TrackerConfig(image_hw=(H, W), local_map_only=True, kf_cull_every=0,
                         min_init_matches=40, min_inliers_local_map=20)
+    # pipeline=4: the production path — per-frame flag fetches resolve four
+    # frames late so the host<->device round trip (tens of ms through the
+    # tunnel) overlaps queued compute instead of serializing the loop (the
+    # round-3 sync-mode headline spent a median 87.8 ms/frame blocked in
+    # flags_fetch; the machinery to hide it existed but was switched off).
     slam = MonocularSLAM(cam, config=cfg, map_capacity=(512, NK, 16384),
                          desc_dim=D, enable_loop_closing=True,
-                         loop_config=LoopConfig(min_covis_weight=30,
-                                                min_recent_kfs_gap=15),
-                         pipeline=0)
+                         loop_config=LoopConfig(min_covis_weight=30),
+                         pipeline=4,
+                         matcher=(matcher if trained else None))
     camj = jnp.asarray(cam)
 
     # The LightGlue matcher is DISPATCHED every frame on the production
@@ -103,11 +125,15 @@ def main():
         out = ext(imgs[i])
         kpts = out["keypoints"][0]
         rays = cameras.unproject(cameras.PINHOLE, camj, kpts)
-        pf = prev_feats[0]
-        if pf is not None:
-            matcher(pf[0], pf[1], pf[2], kpts, out["descriptors"][0],
-                    out["valid"][0])
-        prev_feats[0] = (kpts, out["descriptors"][0], out["valid"][0])
+        if not trained:
+            # Untrained fallback: LightGlue still DISPATCHED every frame so
+            # its cost stays inside the wall clock (random weights cannot
+            # produce usable matches, so tracking consumes mutual-NN).
+            pf = prev_feats[0]
+            if pf is not None:
+                matcher(pf[0], pf[1], pf[2], kpts, out["descriptors"][0],
+                        out["valid"][0])
+            prev_feats[0] = (kpts, out["descriptors"][0], out["valid"][0])
         return slam.track_frame(kpts, rays, out["descriptors"][0],
                                 out["valid"][0], times[i])
 
@@ -166,14 +192,25 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
         "detail": {
             "composition": "ONE integrated loop: image -> SuperPoint(1024kpt,"
-                           "256D) -> LightGlue(9L, dispatched per frame; "
-                           "tracking consumes mutual-NN — no trained ckpt in "
-                           "env) -> fused track kernel -> KF mapping + loop "
-                           "closing (sync mode)",
+                           "256D%s) -> LightGlue(9L%s) -> fused track+map "
+                           "kernel (on-device KF decision+insert) + loop "
+                           "closing (pipeline=4 product path)" % (
+                               (", in-env-trained", ", in-env-trained, "
+                                "driving tracker+loop closer") if trained
+                               else (", random weights",
+                                     " dispatched/frame; tracking consumes "
+                                     "mutual-NN — no trained ckpt")),
             "frames_timed": n_timed,
             "ate_cm": ate_cm,
             "frac_frames_tracked": round(frac_tracked, 3),
             "n_kf": int(slam.n_kf),
+            "n_loops": len(slam.loop_events),
+            "loop_events": [
+                {"kf": int(k), "candidate": int(li.get("candidate", -1)),
+                 "n_inliers": int(li.get("n_inliers", 0)),
+                 "merge": bool(li.get("merge", False)),
+                 "n_fused": int(li.get("n_fused", 0))}
+                for k, li in slam.loop_events],
             "superpoint_ms": round(t_sp * 1000, 2),
             "lightglue_ms": round(t_lg * 1000, 2),
             "baseline": "reference real-time claim = 30 fps camera on RTX "

@@ -48,8 +48,12 @@ class SuperPoint(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, image):
-        """image: [B, H, W, 1] float32 in [0,1]."""
+    def __call__(self, image, return_logits: bool = False):
+        """image: [B, H, W, 1] float32 in [0,1].
+
+        return_logits=True additionally returns the raw [B,Hc,Wc,65]
+        detector logits (training needs the dustbin; see
+        training/superpoint_train.py)."""
         x = image.astype(self.dtype)
         # Encoder
         x = VGGBlock(64, self.dtype, name="conv1a")(x)
@@ -78,6 +82,8 @@ class SuperPoint(nn.Module):
         desc = nn.Conv(DESC_DIM, (1, 1), dtype=self.dtype, name="convDb")(e)
         desc = desc.astype(jnp.float32)
         desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+        if return_logits:
+            return prob, desc, logits.astype(jnp.float32)
         return prob, desc
 
 

@@ -217,15 +217,22 @@ class MonocularInertialSLAM(MonocularSLAM):
         if self._last_frame_time is not None and self._imu_buf:
             with self.timers.stage("imu_preint"):
                 pre_seg = self._preintegrate_window()
-                if self._preint_since_kf is None:
-                    self._preint_since_kf = pre_seg
-                else:
-                    self._preint_since_kf = preint.merge(
-                        self._preint_since_kf, pre_seg)
+        # NOTE: the keyframe preintegration chain (_preint_since_kf) is
+        # accumulated at FINISH time (_on_frame_finish), not here — keyframes
+        # close at finish time, and in pipeline mode dispatch runs K frames
+        # ahead, so accumulating here would put the newest frames' IMU
+        # segments into the wrong KF->KF edge.
         self._cur_preint = pre_seg
         self._pred_body = None
         self._vi_refined = False
         info = super().track_frame(kpts, rays, desc, valid, time)
+        if self.last_frame is not None:
+            # Stash the dispatch-time predicted velocity for the (possibly
+            # deferred) finish-time VI refinement. _predict_pose ran inside
+            # super().track_frame, after _prepare_frame — so this completes
+            # the frame's VI context here.
+            self.last_frame._vi_pred_v = (
+                None if self._pred_body is None else self._pred_body[2])
         self._last_frame_time = float(time)
         # IMU-propagated velocity (when the VI pose refinement ran, it already
         # estimated velocity/biases jointly — don't overwrite them).
@@ -298,17 +305,57 @@ class MonocularInertialSLAM(MonocularSLAM):
         info["imu_ready"] = self.imu_ready
         return info
 
+    def _fused_mapping_ok(self) -> bool:
+        # Inertial inserts close preintegration segments and snapshot body
+        # states on the host (_insert_keyframe override) — keep the
+        # host-decision pipeline path.
+        return False
+
+    def _prepare_frame(self, frame):
+        """Stash the frame's preintegration segment at dispatch time: the
+        finish-time VI refinement and the finish-side KF preint chain must
+        see THIS frame's IMU window, not whatever segment is current K
+        frames later (pipeline mode)."""
+        frame._vi_seg = self._cur_preint
+        frame._vi_pred_v = None   # completed after _predict_pose (track_frame)
+
+    def _on_frame_finish(self, frame):
+        """Finish-side accumulation of the keyframe preintegration chain
+        (reference mpImuPreintegratedFromLastKF): frames finish in FIFO
+        order, so merging here reproduces the dispatch-order chain exactly
+        in sync mode while staying correct under pipeline lag."""
+        seg = getattr(frame, "_vi_seg", None)
+        if seg is None:
+            return
+        if self._preint_since_kf is None:
+            self._preint_since_kf = seg
+        else:
+            self._preint_since_kf = preint.merge(self._preint_since_kf, seg)
+
     def _post_track_refine(self, frame):
         """Per-frame VI motion-only optimization (reference
         PoseInertialOptimizationLastKeyFrame/LastFrame, src/Optimizer.cc:416/983
         — called from TrackLocalMap once the IMU is initialized,
         src/Tracking.cc:3598-3640). Jointly refines the frame pose, velocity
         and biases against the visual matches + the preintegrated IMU factor
-        to the previous frame, chaining a 15-dim marginal prior."""
-        if (not self.imu_ready or self._cur_preint is None
-                or self._last_n_inl < 15):
+        to the previous frame, chaining a 15-dim marginal prior.
+
+        Pipeline-safe: runs at FINISH time with the frame-stashed
+        preintegration segment; the previous-body anchor comes from the
+        finish-side chain (_fin_body), which tracks the previously FINISHED
+        frame rather than the newest dispatched one."""
+        seg = getattr(frame, "_vi_seg", None)
+        if not self.imu_ready or seg is None or self._last_n_inl < 15:
+            if self.pipeline and frame.R_cw is not None and self.imu_ready:
+                self._seed_fin_body(frame)
             return
-        seg = self._cur_preint
+        if self.pipeline and self._fin_body is None:
+            # First finish after IMU init / an alignment event: seed the
+            # finish-side chain from this frame and restart the prior chain
+            # (the stale pre-alignment anchor must not leak into the factor).
+            self._seed_fin_body(frame)
+            self._vi_prior_H = None
+            return
         st = self.state
         li = frame.landmark_idx
         e_valid = (li >= 0) & frame.valid
@@ -317,7 +364,14 @@ class MonocularInertialSLAM(MonocularSLAM):
         # from the IMU propagation when available.
         R1, p1 = _body_from_camera(frame.R_cw, frame.t_cw,
                                    self.calib.Rbc, self.calib.tbc)
-        v1 = self._pred_body[2] if self._pred_body is not None else self.v_wb
+        if self.pipeline:
+            R0b, p0b, v0b = self._fin_body
+            pv = getattr(frame, "_vi_pred_v", None)
+            v1 = pv if pv is not None else v0b
+        else:
+            R0b, p0b, v0b = self.R_wb, self.p_wb, self.v_wb
+            v1 = (self._pred_body[2] if self._pred_body is not None
+                  else self.v_wb)
         R_cb, t_cb = lie.se3_inverse(self.calib.Rbc, self.calib.tbc)
         anchor_fixed = self._vi_prior_H is None
         prior_H = (jnp.zeros((15, 15)) if anchor_fixed
@@ -326,7 +380,7 @@ class MonocularInertialSLAM(MonocularSLAM):
         # (reference EdgeGyroRW/EdgeAccRW use C.block(9,9,6,6).inverse()).
         walk_var = jnp.diagonal(seg.C)[9:15]
         prob = pio.PoseInertialProblem(
-            R_wb0=self.R_wb, p_wb0=self.p_wb, v_wb0=self.v_wb,
+            R_wb0=R0b, p_wb0=p0b, v_wb0=v0b,
             bg0=self.bg, ba0=self.ba,
             R_wb1=R1, p_wb1=p1, v_wb1=v1, bg1=self.bg, ba1=self.ba,
             prior_H=prior_H, prior_valid=jnp.asarray(not anchor_fixed),
@@ -349,6 +403,8 @@ class MonocularInertialSLAM(MonocularSLAM):
             # Refinement diverged (bad preintegration / few edges): keep the
             # visual pose and restart the prior chain.
             self._vi_prior_H = None
+            if self.pipeline:
+                self._seed_fin_body(frame)
             return
         frame.R_cw, frame.t_cw = res.R_cw, res.t_cw
         frame.landmark_idx = jnp.where(res.inliers, li, -1)
@@ -358,6 +414,21 @@ class MonocularInertialSLAM(MonocularSLAM):
         self._last_n_inl = n_inl
         self._vi_prior_H = res.marg_H
         self._vi_refined = True
+        if self.pipeline:
+            R1b, p1b = _body_from_camera(res.R_cw, res.t_cw,
+                                         self.calib.Rbc, self.calib.tbc)
+            self._fin_body = (R1b, p1b, res.v_wb)
+
+    # Finish-side body-state chain for pipelined VI refinement: the REFINED
+    # body state of the last finished frame (None = needs reseeding, e.g.
+    # after IMU init / scale alignment / map reset rescaled the world).
+    _fin_body = None
+
+    def _seed_fin_body(self, frame):
+        Rb, pb = _body_from_camera(frame.R_cw, frame.t_cw,
+                                   self.calib.Rbc, self.calib.tbc)
+        pv = getattr(frame, "_vi_pred_v", None)
+        self._fin_body = (Rb, pb, pv if pv is not None else self.v_wb)
 
     def _need_new_keyframe(self, frame) -> bool:
         """Pre-IMU-init keyframe cadence is TIME-based (reference: mono-IMU
@@ -388,8 +459,15 @@ class MonocularInertialSLAM(MonocularSLAM):
             return R_cw, t_cw
         return super()._predict_pose()
 
+    def _on_tracking_lost(self, frame):
+        super()._on_tracking_lost(frame)
+        self._fin_body = None
+        self._vi_prior_H = None
+        self._preint_since_kf = None
+
     def _monocular_init(self, frame):
         ok = super()._monocular_init(frame)
+        self._fin_body = None
         if ok:
             # KFs 0 and 1 were created by the init kernel; the preintegration
             # accumulated so far spans pre-init frames — record a placeholder
@@ -606,6 +684,11 @@ class MonocularInertialSLAM(MonocularSLAM):
         s = float(res.scale)
         if not np.isfinite(s) or not (0.25 < s < 4.0):
             return  # alignment should already be close; reject wild estimates
+        # In-flight pipelined frames were tracked against the pre-alignment
+        # world: finish them in that frame before rescaling (their poses and
+        # any keyframes they insert must not straddle the alignment).
+        self.flush()
+        self._fin_body = None
         # Non-window keyframe velocities ride the alignment too: v' = s*Rgw*v
         # (reference ApplyScaledRotation scales velocities,
         # src/Map.cc ApplyScaledRotation); window KFs get fresh estimates.
@@ -712,6 +795,10 @@ class MonocularInertialSLAM(MonocularSLAM):
         # ~the median scene depth (can be tens of meters).
         if not (0.02 < scale < 100.0) or not np.isfinite(scale):
             return
+        # Drain in-flight pipelined frames in the pre-alignment frame (see
+        # _refine_scale) before transforming the world.
+        self.flush()
+        self._fin_body = None
 
         # Align the whole map: gravity to -z, metric scale. Velocities of
         # keyframes BETWEEN the subsampled init picks are forward-filled from

@@ -37,6 +37,13 @@ class LoopConfig:
     min_bow_matches: int = 20      # :1170
     min_sim3_inliers: int = 20     # Sim3Solver minInliers :1390
     min_recent_kfs_gap: int = 10   # don't match against very recent KFs
+    min_recent_time_s: float = 3.0   # ALSO exclude same-map candidates within
+                                     # this many seconds of the query — a
+                                     # cadence-invariant recency gate (the
+                                     # KF-count gap silently widens/narrows
+                                     # with the keyframe policy; the
+                                     # reference's covis-exclusion is kept
+                                     # too, src/KeyFrameDatabase.cc:658-830)
     min_covis_weight: int = 30     # essential-graph covis edges (ref 100)
     pose_graph_iters: int = 15
     fix_scale: bool = False        # True for stereo/inertial
@@ -69,7 +76,7 @@ class LoopConfig:
 
 @functools.partial(jax.jit, static_argnames=("n_best", "gap"))
 def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
-                           gap: int):
+                           gap: int, recent_s=3.0):
     """ONE fused device program for the per-keyframe place-recognition step:
     BoW transform + covisibility + candidate gating + database insert
     (reference KeyFrameDatabase::add + DetectNBestCandidates_sp). The
@@ -82,8 +89,9 @@ def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
     query_tf = kdb.bow_transform(db.vocab, desc, valid)
     W = ms.covisibility(state)
     same_map = state.kf_map_id == state.kf_map_id[kf_id]
-    connected = (W[kf_id] > 0) | \
-        ((jnp.arange(state.K) >= kf_id - gap) & same_map)
+    recent = (jnp.arange(state.K) >= kf_id - gap) | \
+        (jnp.abs(state.kf_time - state.kf_time[kf_id]) < recent_s)
+    connected = (W[kf_id] > 0) | (recent & same_map)
     ids, scores = kdb.detect_candidates(db, query_tf, W, kf_id, connected,
                                         n_best=n_best)
     db2 = kdb.db_add(db, kf_id, desc, valid)
@@ -92,25 +100,33 @@ def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
 
 @functools.partial(jax.jit, static_argnames=("cam_kind", "fix_scale"))
 def _sim3_candidates_kernel(state: ms.MapState, kf_q, cand_ids, cam_params,
-                            key, cam_kind: int, fix_scale: bool):
+                            key, cam_kind: int, fix_scale: bool,
+                            ext_matches=None):
     """Sim3 verification of ALL candidate keyframes in one vmapped program
     (reference runs Sim3Solver RANSAC per candidate on the CPU,
     src/LoopClosing.cc:1386-1400). Returns per-candidate
     (n_match, success, n_inliers, s, R, t) so the host makes its accept
-    decision from ONE scalar fetch."""
+    decision from ONE scalar fetch.
+
+    ext_matches: optional [B, N] learned-matcher q->candidate matches (the
+    reference's SearchByBoWSP LightGlue path) — computed by ONE batched
+    dispatch whose candidate gather uses DEVICE indices, so the learned loop
+    path stays sync-free end to end."""
     B = cand_ids.shape[0]
     keys = jax.random.split(key, B)
 
-    def one(c, k):
+    def one(c, k, em):
         cc = jnp.clip(c, 0, state.K - 1)
         res, n_match = _sim3_between_kfs_body(
-            state, kf_q, cc, cam_params, k, cam_kind, fix_scale, None)
+            state, kf_q, cc, cam_params, k, cam_kind, fix_scale, em)
         ok = res.success & (c >= 0)
         return (n_match.astype(jnp.int32), ok,
                 res.n_inliers.astype(jnp.int32), res.s, res.R, res.t)
 
     def run(_):
-        return jax.vmap(one)(cand_ids, keys)
+        if ext_matches is None:
+            return jax.vmap(lambda c, k: one(c, k, None))(cand_ids, keys)
+        return jax.vmap(one)(cand_ids, keys, ext_matches)
 
     def skip(_):
         return (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
@@ -597,16 +613,14 @@ class LoopCloser:
         info = {"loop": False}
         self.db, ids, scores = _detect_and_add_kernel(
             state, self.db, jnp.asarray(kf_id, jnp.int32),
-            self.cfg.n_candidates, self.cfg.min_recent_kfs_gap)
+            self.cfg.n_candidates, self.cfg.min_recent_kfs_gap,
+            jnp.asarray(self.cfg.min_recent_time_s, jnp.float32))
 
         # --- hypothesis alive: only try to re-confirm it (reference skips
         # database detection while mnLoopNumCoincidences > 0, :452-475) ---
         if self._hyp is not None:
             self._pending_cand = None
             return self._advance_hypothesis(state, kf_id)
-
-        if self.matcher is not None:
-            return self._on_keyframe_matcher_path(state, kf_id, ids)
 
         # Resolve the PREVIOUS keyframe's candidate pack first: its
         # device->host copy was started a whole keyframe ago, so reading it
@@ -618,9 +632,26 @@ class LoopCloser:
             return fired
 
         self._rng, key = jax.random.split(self._rng)
+        ext = None
+        if self.matcher is not None and hasattr(self.matcher, "match_batch"):
+            # Learned candidate matching (reference SearchByBoWSP LightGlue,
+            # src/Matchers/SPmatcher.cc:1670-1734): ONE batched dispatch for
+            # all candidates; the candidate gather uses the DEVICE ids from
+            # the detect kernel, so no host sync enters the per-KF path.
+            B = ids.shape[0]
+            jc = jnp.clip(ids, 0, state.K - 1)
+            q = jnp.clip(jnp.asarray(kf_id, jnp.int32), 0, state.K - 1)
+            qk, qd = state.kf_kpts[q], state.kf_desc[q].astype(jnp.float32)
+            qv = state.kf_kpt_valid[q]
+            ext = self.matcher.match_batch(
+                jnp.broadcast_to(qk[None], (B,) + qk.shape),
+                jnp.broadcast_to(qd[None], (B,) + qd.shape),
+                jnp.broadcast_to(qv[None], (B,) + qv.shape),
+                state.kf_kpts[jc], state.kf_desc[jc].astype(jnp.float32),
+                state.kf_kpt_valid[jc])
         nm, okk, ninl, s_all, R_all, t_all = _sim3_candidates_kernel(
             state, jnp.asarray(kf_id, jnp.int32), ids, self.cam_params, key,
-            self.cfg.cam_kind, self.cfg.fix_scale)
+            self.cfg.cam_kind, self.cfg.fix_scale, ext_matches=ext)
         pack = jnp.concatenate([ids, nm, okk.astype(jnp.int32), ninl])
         try:
             pack.copy_to_host_async()
@@ -659,33 +690,6 @@ class LoopCloser:
                 return self._fire(state, kf_id)
             break
         return None
-
-    def _on_keyframe_matcher_path(self, state: ms.MapState, kf_id: int, ids):
-        """Candidate verification through the learned matcher (reference
-        SearchByBoWSP LightGlue path) — per-candidate host loop."""
-        info = {"loop": False}
-        for cand in np.asarray(ids):
-            if cand < 0:
-                continue
-            self._rng, key = jax.random.split(self._rng)
-            res, n_match = _sim3_between_kfs(
-                state, jnp.asarray(kf_id, jnp.int32),
-                jnp.asarray(int(cand), jnp.int32), self.cam_params, key,
-                self.cfg.cam_kind, self.cfg.fix_scale,
-                ext_matches=self._kf_matches(state, kf_id, int(cand)))
-            if int(n_match) < self.cfg.min_bow_matches:
-                continue
-            if not bool(res.success) or int(res.n_inliers) < self.cfg.min_sim3_inliers:
-                continue
-            self._hyp = {"cand": int(cand), "q_last": kf_id, "count": 1,
-                         "misses": 0, "s": res.s, "R": res.R, "t": res.t,
-                         "n_inliers": int(res.n_inliers)}
-            if self.cfg.consistency_needed <= 1:
-                return self._fire(state, kf_id)
-            info = {"loop": False, "pending": True, "candidate": int(cand),
-                    "count": 1}
-            break
-        return state, info
 
     def _advance_hypothesis(self, state: ms.MapState, kf_id: int):
         """Try to re-confirm the pending hypothesis from keyframe kf_id

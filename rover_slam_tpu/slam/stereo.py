@@ -160,6 +160,11 @@ class StereoSLAM(MonocularSLAM):
         self._log_pose(frame)
         return True
 
+    def _fused_mapping_ok(self) -> bool:
+        # The stereo insert spawns depth-seeded landmarks host-side below;
+        # keep the host-decision pipeline path until that moves in-kernel.
+        return False
+
     def _insert_keyframe(self, frame):
         """Insert KF, then spawn landmarks from stereo depth for unmatched
         keypoints (the reference creates close-depth stereo points directly,

@@ -173,7 +173,10 @@ def test_lost_spawns_new_atlas_map():
     the Atlas and tracking restarts in a FRESH map (reference LOST handling +
     CreateMapInAtlas, src/Tracking.cc:2296-2316,3167)."""
     world = synthetic.make_world(n_landmarks=3000, desc_dim=64, seed=5)
-    R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=25, dt=0.1,
+    # 45 frames: the self-pacing keyframe policy (c2 on inlier decay) needs
+    # a longer run than the old always-insert cadence to mature the map past
+    # min_kfs_keep_map.
+    R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=45, dt=0.1,
                                                      speed=0.6, yaw_rate=0.04)
     frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=512,
                                        pix_noise=0.4, desc_noise=0.05)
@@ -197,9 +200,11 @@ def test_lost_spawns_new_atlas_map():
         if slam.tracking_state == T.NO_IMAGES_YET:
             break
     assert int(slam.state.active_map_id) == 1, "no new Atlas map created"
-    # Old map kept (mature).
+    # Old map kept (mature). >=: the weak-acceptance band may insert a
+    # final urgent keyframe or two during the degradation transient before
+    # LOST is declared — the map must survive, not be frozen byte-for-byte.
     assert int(jnp.sum(slam.state.kf_active
-                       & (slam.state.kf_map_id == 0))) == n_kf_map0
+                       & (slam.state.kf_map_id == 0))) >= n_kf_map0
 
     # Re-track a NEW world in the fresh map: must initialize again.
     world2 = synthetic.make_world(n_landmarks=3000, desc_dim=64, seed=6)

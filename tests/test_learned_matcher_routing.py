@@ -111,8 +111,8 @@ def test_reloc_uses_candidate_matches():
     ext = jnp.stack([jnp.arange(n, dtype=jnp.int32),
                      jnp.full((n,), -1, jnp.int32)])
     R, t, lm, ok, n_inl = T._reloc_from_kf_matches(
-        st, cand_ids, ext, jnp.asarray(uv1), jnp.ones(n, bool), cam,
-        jax.random.PRNGKey(0), cameras.PINHOLE)
+        st, cand_ids, ext, jnp.asarray(uv1), jnp.asarray(desc),
+        jnp.ones(n, bool), cam, jax.random.PRNGKey(0), cameras.PINHOLE)
     assert bool(ok)
     assert int(n_inl) > n // 2
     assert np.linalg.norm(np.asarray(t) - t_true) < 0.02
