@@ -124,7 +124,7 @@ def main():
     def step(i):
         out = ext(imgs[i])
         kpts = out["keypoints"][0]
-        rays = cameras.unproject(cameras.PINHOLE, camj, kpts)
+        rays = cameras.unproject_jit(cameras.PINHOLE, camj, kpts)
         if not trained:
             # Untrained fallback: LightGlue still DISPATCHED every frame so
             # its cost stays inside the wall clock (random weights cannot
@@ -141,6 +141,12 @@ def main():
     for i in range(n_warm):              # warmup: compiles + map bootstrap
         step(i)
     slam.flush()
+    # Compile the whole loop-closing path (Sim3 verification, pose graph,
+    # fusion, GBA) BEFORE the clock starts: this platform has no persistent
+    # compilation cache, and without this the first fired loop pays a
+    # multi-second XLA compile inside the timed region (a deployment would
+    # precompile exactly the same way; the reference's g2o path is AOT C++).
+    slam.precompile()
     print(f"# warmup in {time.perf_counter()-t_w:.0f}s", file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(n_warm, F):

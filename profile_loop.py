@@ -1,0 +1,98 @@
+"""Wall-clock instrumentation of the exact bench loop: where does the host
+spend its time per frame?"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from rover_slam_tpu.models.superpoint import SuperPointExtractor
+    from rover_slam_tpu.models.lightglue import (LightGlueMatcher,
+                                                 LightGlueFrameMatcher)
+    from rover_slam_tpu.slam.system import MonocularSLAM
+    from rover_slam_tpu.slam.tracking import TrackerConfig
+    from rover_slam_tpu.slam.loop_closing import LoopConfig
+    from rover_slam_tpu.geometry import cameras
+    from rover_slam_tpu.utils import synthetic
+    from rover_slam_tpu.training import checkpoints as ckpt
+
+    H, W, NK, D = 480, 640, 1024, 256
+    FX = 458.0
+    cam = np.asarray(cameras.make_pinhole(FX, FX, W / 2.0, H / 2.0))
+    world = synthetic.make_photo_world(n_sprites=1400, patch=17, seed=0,
+                                       image_hw=(H, W), layout="ring",
+                                       ring_orbit_radius=5.0)
+    world = world._replace(cam_params=cam)
+    n_warm, n_timed = 40, int(os.environ.get("PROF_TIMED", "60"))
+    F = n_warm + n_timed
+    R_gt, t_gt, times = synthetic.orbit_trajectory(
+        n_frames=F, orbit_radius=5.0, revs=1.1 * F / 160.0, dt=1.0 / 30.0)
+    imgs = [jax.device_put(jnp.asarray(
+        synthetic.render_photo_frame(world, R_gt[i], t_gt[i])[None]
+        .astype(np.float32) / 255.0)) for i in range(F)]
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "rover_slam_tpu", "assets")
+    sp_params = ckpt.load_params(os.path.join(base, "superpoint_synth.npz"))
+    lg_params = ckpt.load_params(os.path.join(base, "lightglue_synth.npz"))
+    ext = SuperPointExtractor(params=sp_params, image_hw=(H, W),
+                              max_keypoints=NK)
+    matcher = LightGlueFrameMatcher(
+        LightGlueMatcher(params=lg_params, num_kpts=NK, num_layers=9,
+                         threshold=0.1), (H, W))
+    cfg = TrackerConfig(image_hw=(H, W), local_map_only=True, kf_cull_every=0,
+                        min_init_matches=40, min_inliers_local_map=20)
+    slam = MonocularSLAM(cam, config=cfg, map_capacity=(512, NK, 16384),
+                         desc_dim=D, enable_loop_closing=True,
+                         loop_config=LoopConfig(min_covis_weight=30),
+                         pipeline=4, matcher=matcher)
+    camj = jnp.asarray(cam)
+
+    acc = {}
+
+    def tick(name, t0):
+        t1 = time.perf_counter()
+        acc.setdefault(name, []).append((t1 - t0) * 1000)
+        return t1
+
+    def step(i, timed):
+        t0 = time.perf_counter()
+        out = ext(imgs[i])
+        if timed:
+            t0 = tick("ext_dispatch", t0)
+        kpts = out["keypoints"][0]
+        rays = cameras.unproject_jit(cameras.PINHOLE, camj, kpts)
+        if timed:
+            t0 = tick("unproject", t0)
+        r = slam.track_frame(kpts, rays, out["descriptors"][0],
+                             out["valid"][0], times[i])
+        if timed:
+            tick("track_frame", t0)
+        return r
+
+    for i in range(n_warm):
+        step(i, False)
+    slam.flush()
+    slam.precompile()
+    t0 = time.perf_counter()
+    for i in range(n_warm, F):
+        step(i, True)
+    slam.flush()
+    wall = time.perf_counter() - t0
+    print(f"fps={n_timed/wall:.2f} n_kf={slam.n_kf}")
+    for k, v in sorted(acc.items()):
+        v = np.array(v)
+        print(f"{k}: med={np.median(v):.2f} mean={v.mean():.2f} "
+              f"max={v.max():.2f} sum={v.sum():.0f}ms")
+    print("slam timers:", {k: (round(s["median_ms"], 2), s["count"])
+                           for k, s in sorted(slam.timers.summary().items())})
+    print("loop_events:", slam.loop_events)
+    for row in slam.loop_closer.score_log:
+        print("score_log kf=%d best=%.4f minscore=%.4f dispatched=%s" % row)
+
+
+if __name__ == "__main__":
+    main()

@@ -95,8 +95,8 @@ def main(argv=None):
         else:
             out = ext(jnp.asarray(img[None]))
         kpts = out["keypoints"][0]
-        rays = cameras.unproject(settings.cam_kind,
-                                 jnp.asarray(settings.cam_params), kpts)
+        rays = cameras.unproject_jit(settings.cam_kind,
+                                     jnp.asarray(settings.cam_params), kpts)
         if t_imu is not None and hasattr(slam, "feed_imu") and i > 0:
             while imu_idx < len(t_imu) and t_imu[imu_idx] <= t_cam[i]:
                 # Feed RELATIVE time — track_frame gets t_rel below, and the

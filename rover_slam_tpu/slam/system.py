@@ -57,7 +57,9 @@ class MonocularSLAM:
         self.matcher = matcher
         self.pipeline_depth = (4 if pipeline is True else int(pipeline))
         self.pipeline = self.pipeline_depth > 0
-        self.pipeline_warmup_kfs = 20   # sync until the map bootstraps
+        self.pipeline_warmup_kfs = 8    # sync until the map bootstraps (KF
+        # count, not frames: what matters is triangulated landmark density;
+        # at the c2 cadence of ~1 KF/3 frames this is ~2 dozen frames)
         self._pending = deque()       # FIFO of (frame, flags_future)
         self.cam_params = jnp.asarray(cam_params)
         self.bf = None   # baseline*fx (stereo/RGBD systems set it): enables
@@ -188,30 +190,9 @@ class MonocularSLAM:
                 # and mask are both donated args; aliasing one buffer into
                 # two donated slots is an XLA error
                 (self.state, self._policy, self._local_mask,
-                 R2, t2, cur_lm, flags) = T._track_and_map_kernel(
-                    self.state, self._policy, mask,
-                    prev.desc, prev.valid, prev_lidx,
-                    frame.kpts, frame.rays, frame.desc, frame.valid, R0, t0,
-                    jnp.asarray(frame.time, jnp.float32),
-                    self.cam_params, self.cfg.cam_kind, self.cfg.image_hw,
-                    self.cfg.min_matches_motion, self.cfg.min_inliers_track,
-                    self.cfg.min_inliers_local_map, self.cfg.proj_radius,
-                    self.cfg.desc_th2,
-                    jnp.asarray(self.cfg.kf_tracked_ratio, jnp.float32),
-                    jnp.asarray(self.cfg.kf_min_interval, jnp.float32),
-                    jnp.asarray(self.cfg.kf_max_interval, jnp.float32),
-                    self.cfg.local_window, self.cfg.fixed_window,
-                    self.cfg.ba_iters,
-                    local_map_only=self.cfg.local_map_only,
-                    ext_matches=ext_matches,
-                    max_depth=jnp.asarray(self.cfg.th_far_points, jnp.float32),
-                    min_matches_ref_kf=self.cfg.min_matches_ref_kf,
-                    motion_rounds=self.cfg.motion_rounds,
-                    motion_iters=self.cfg.motion_iters,
-                    local_rounds=self.cfg.local_rounds,
-                    local_iters=self.cfg.local_iters,
-                    cur_invd=frame.invd, bf=bf_arr,
-                    min_inliers_weak=self.cfg.min_inliers_weak)
+                 R2, t2, cur_lm, flags) = self._dispatch_fused(
+                    self.state, self._policy, mask, prev.desc, prev.valid,
+                    prev_lidx, frame, R0, t0, ext_matches, bf_arr)
                 frame._fused = True
             else:
                 R2, t2, cur_lm, flags = T._track_step_kernel(
@@ -508,10 +489,12 @@ class MonocularSLAM:
         if self.loop_closer is None:
             return
         from ..map import keyframe_database as kdb
+        kfj = jnp.asarray(kf_id, jnp.int32)  # device index: a Python-int
+        # eager gather compiles per id on this platform
         self.loop_closer.db = kdb.db_add(
-            self.loop_closer.db, kf_id,
-            self.state.kf_desc[kf_id].astype(jnp.float32),
-            self.state.kf_kpt_valid[kf_id])
+            self.loop_closer.db, kfj,
+            self.state.kf_desc[kfj].astype(jnp.float32),
+            self.state.kf_kpt_valid[kfj])
 
     # ------------------------------------------------------------------
     def _reloc_candidates_matches(self, frame, n_cand: int = 3):
@@ -607,6 +590,65 @@ class MonocularSLAM:
 
     # ------------------------------------------------------------------
     _kf_scalars = None
+
+    def _dispatch_fused(self, state, policy, mask, prev_desc, prev_valid,
+                        prev_lidx, frame, R0, t0, ext_matches, bf_arr):
+        """Dispatch the fused track+map kernel (shared by the product path
+        and precompile so both hit the same jit cache entry)."""
+        return T._track_and_map_kernel(
+            state, policy, mask, prev_desc, prev_valid, prev_lidx,
+            frame.kpts, frame.rays, frame.desc, frame.valid, R0, t0,
+            jnp.asarray(frame.time, jnp.float32),
+            self.cam_params, self.cfg.cam_kind, self.cfg.image_hw,
+            self.cfg.min_matches_motion, self.cfg.min_inliers_track,
+            self.cfg.min_inliers_local_map, self.cfg.proj_radius,
+            self.cfg.desc_th2,
+            jnp.asarray(self.cfg.kf_tracked_ratio, jnp.float32),
+            jnp.asarray(self.cfg.kf_min_interval, jnp.float32),
+            jnp.asarray(self.cfg.kf_max_interval, jnp.float32),
+            self.cfg.local_window, self.cfg.fixed_window,
+            self.cfg.ba_iters,
+            local_map_only=self.cfg.local_map_only,
+            ext_matches=ext_matches,
+            max_depth=jnp.asarray(self.cfg.th_far_points, jnp.float32),
+            min_matches_ref_kf=self.cfg.min_matches_ref_kf,
+            motion_rounds=self.cfg.motion_rounds,
+            motion_iters=self.cfg.motion_iters,
+            local_rounds=self.cfg.local_rounds,
+            local_iters=self.cfg.local_iters,
+            cur_invd=frame.invd, bf=bf_arr,
+            min_inliers_weak=self.cfg.min_inliers_weak)
+
+    def precompile(self):
+        """Compile the steady-state product path before serving: the fused
+        track+map kernel (pipeline mode) and the full loop-closing program
+        set. Call after bootstrap (needs a tracked frame for shapes). This
+        platform has no persistent XLA cache, so any program whose first
+        dispatch lands mid-run stalls the product loop by tens of seconds
+        (the fused kernel alone compiles for ~36 s)."""
+        prev = self.last_frame
+        if self.pipeline and prev is not None and self._fused_mapping_ok():
+            state_c = jax.tree.map(
+                lambda x: x.copy() if hasattr(x, "copy") else x, self.state)
+            policy = jnp.asarray([0.0, float(self.ref_kf_tracked)],
+                                 jnp.float32)
+            mask = self.state.lm_active.copy()
+            prev_lidx = prev.landmark_idx if prev.landmark_idx is not None \
+                else jnp.full((self.state.N,), -1, jnp.int32)
+            ext = None
+            if self.matcher is not None:
+                ext = self.matcher(prev.kpts, prev.desc, prev.valid,
+                                   prev.kpts, prev.desc, prev.valid)
+            bf_arr = (None if self.bf is None
+                      else jnp.asarray(self.bf, jnp.float32))
+            R0 = prev.R_cw if prev.R_cw is not None else jnp.eye(3)
+            t0 = prev.t_cw if prev.t_cw is not None else jnp.zeros(3)
+            outs = self._dispatch_fused(state_c, policy, mask, prev.desc,
+                                        prev.valid, prev_lidx, prev, R0, t0,
+                                        ext, bf_arr)
+            jax.block_until_ready(outs[6])
+        if self.loop_closer is not None:
+            self.loop_closer.precompile(self.state)
 
     def _fused_mapping_ok(self) -> bool:
         """Whether the on-device fused mapping path may drive this system's
