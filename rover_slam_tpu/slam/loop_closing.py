@@ -45,6 +45,9 @@ class LoopConfig:
                                      # reference's covis-exclusion is kept
                                      # too, src/KeyFrameDatabase.cc:658-830)
     min_covis_weight: int = 30     # essential-graph covis edges (ref 100)
+    connected_min_weight: int = 15  # candidate exclusion: covis weight that
+                                    # counts as "connected" (reference
+                                    # KeyFrame::UpdateConnections th=15)
     # Gates for dispatching the verification phase (learned matching + Sim3
     # RANSAC), applied to the deferred candidate group scores:
     # score >= max(min_score_ratio * minScore, min_abs_score), where minScore
@@ -87,7 +90,7 @@ class LoopConfig:
 
 @functools.partial(jax.jit, static_argnames=("n_best", "gap"))
 def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
-                           gap: int, recent_s=3.0):
+                           gap: int, recent_s=3.0, connected_w=15):
     """ONE fused device program for the per-keyframe place-recognition step:
     BoW transform + covisibility + candidate gating + database insert
     (reference KeyFrameDatabase::add + DetectNBestCandidates_sp). The
@@ -102,7 +105,14 @@ def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
     same_map = state.kf_map_id == state.kf_map_id[kf_id]
     recent = (jnp.arange(state.K) >= kf_id - gap) | \
         (jnp.abs(state.kf_time - state.kf_time[kf_id]) < recent_s)
-    connected = (W[kf_id] > 0) | (recent & same_map)
+    # Exclude only keyframes COVISIBILITY-connected to the query — weight >=
+    # connected_w, the reference's covisibility-graph connection threshold
+    # (KeyFrame::UpdateConnections th=15). Excluding on ANY shared landmark
+    # (W > 0) silently removes the TRUE loop candidate: approaching the
+    # closure, the local-map search re-associates a handful of old landmarks
+    # with the current frames, which put W[query, true_candidate] at 1-5
+    # while the candidate is still the geometric revisit.
+    connected = (W[kf_id] >= connected_w) | (recent & same_map)
     ids, scores = kdb.detect_candidates(db, query_tf, W, kf_id, connected,
                                         n_best=n_best)
     # Absolute retrieval floor (reference DetectLoopCandidates minScore,
@@ -592,6 +602,12 @@ class LoopCloser:
         self.matcher = matcher
         self.loops_closed = []
         self.score_log = []   # (kf_id, best_group_score, minscore, dispatched)
+        self.cand_log = []    # (kf_id, ids, n_match, sim3_ok, n_inliers)
+        self.hyp_log = []     # (q_last, kf_id, cand, n_proj, count, misses)
+        from collections import deque
+        self._pending_detect = deque()   # (kf_id, dpack) awaiting gating
+        self._pending_cand = deque()     # (kf_id, pack, s, R, t) awaiting
+                                         # resolution
         # 4-DoF pose graph once the owning system's IMU is initialized
         # (set by the inertial systems; reference src/LoopClosing.cc:2048
         # switches on map->IsInertial() && map->GetIniertialBA1()).
@@ -627,13 +643,17 @@ class LoopCloser:
         t1 = jnp.zeros((3,), jnp.float32)
         outs = [_detect_and_add_kernel(
             state, self.db, kf0, B, self.cfg.min_recent_kfs_gap,
-            jnp.asarray(self.cfg.min_recent_time_s, jnp.float32))[1]]
+            jnp.asarray(self.cfg.min_recent_time_s, jnp.float32),
+            jnp.asarray(self.cfg.connected_min_weight, jnp.int32))[1]]
         ext = None
         if self.matcher is not None and hasattr(self.matcher, "match_batch"):
+            # Device-index gathers, NOT [0]: the dispatch path uses dynamic
+            # indices and a static slice is a different XLA program.
             jc = jnp.zeros((B,), jnp.int32)
-            qk = state.kf_kpts[0]
-            qd = state.kf_desc[0].astype(jnp.float32)
-            qv = state.kf_kpt_valid[0]
+            q0 = jnp.asarray(0, jnp.int32)
+            qk = state.kf_kpts[q0]
+            qd = state.kf_desc[q0].astype(jnp.float32)
+            qv = state.kf_kpt_valid[q0]
             ext = self.matcher.match_batch(
                 jnp.broadcast_to(qk[None], (B,) + qk.shape),
                 jnp.broadcast_to(qd[None], (B,) + qd.shape),
@@ -723,7 +743,8 @@ class LoopCloser:
         self.db, ids, scores, minscore = _detect_and_add_kernel(
             state, self.db, jnp.asarray(kf_id, jnp.int32),
             self.cfg.n_candidates, self.cfg.min_recent_kfs_gap,
-            jnp.asarray(self.cfg.min_recent_time_s, jnp.float32))
+            jnp.asarray(self.cfg.min_recent_time_s, jnp.float32),
+            jnp.asarray(self.cfg.connected_min_weight, jnp.int32))
         dpack = jnp.concatenate([ids.astype(jnp.float32), scores,
                                  minscore[None]])
         try:
@@ -734,44 +755,77 @@ class LoopCloser:
         # --- hypothesis alive: only try to re-confirm it (reference skips
         # database detection while mnLoopNumCoincidences > 0, :452-475) ---
         if self._hyp is not None:
-            self._pending_cand = None
-            self._pending_detect = None
+            self._pending_cand.clear()
+            self._pending_detect.clear()
             return self._advance_hypothesis(state, kf_id)
 
-        # Resolve an earlier keyframe's Sim3 candidate pack first: its
-        # device->host copy was started at least a whole keyframe ago, so
-        # reading it now rarely drains the pipeline (the same deferred-fetch
-        # pattern as the tracker's keyframe scalars).
+        self._pending_detect.append((kf_id, dpack))
+        # Resolve earlier keyframes' Sim3 candidate packs / dispatch gated
+        # verification phases for detections whose async copies have landed
+        # (same non-blocking machinery as the per-frame poll()).
         fired = self._resolve_candidates(state)
         if fired is not None:
-            self._pending_detect = (kf_id, dpack)
             return fired
-
-        # Phase 2 for an EARLIER keyframe's detection: by now its candidate
-        # ids/scores are host-resident (polled, never blocking); dispatch the
-        # learned matching + Sim3 verification only if a candidate passed.
         self._maybe_dispatch_sim3(state)
-        if self._pending_detect is None:
-            self._pending_detect = (kf_id, dpack)
         return state, info
 
-    _pending_cand = None
-    _pending_detect = None
+    def poll(self, state: ms.MapState):
+        """Per-FRAME progress on the deferred detection pipeline: resolve
+        packs whose async device->host copies have landed (is_ready — never
+        blocks) and dispatch the gated verification phase. Returns
+        (state, info|None); info carries "query_kf" when a loop fired.
+
+        Without this the two-phase detection only advances at keyframe rate
+        (3+ frames per hop at the c2 cadence), which adds enough latency
+        that a loop closing near the END of a sequence never fires — the
+        reference's loop thread spins continuously for the same reason
+        (src/LoopClosing.cc:100, while(1) with 5 ms sleep)."""
+        if self._hyp is not None:
+            return state, None       # re-confirmation needs a new query KF
+        fired = self._resolve_candidates(state)
+        if fired is not None:
+            return fired
+        self._maybe_dispatch_sim3(state)
+        return state, None
+
+    def finalize(self, state: ms.MapState):
+        """Flush-time drain: block on any still-in-flight packs and resolve
+        them (sequence end / atlas save — the last detections would
+        otherwise die in flight)."""
+        for q in (self._pending_detect, self._pending_cand):
+            for item in q:
+                jax.block_until_ready(item[1])
+        self._maybe_dispatch_sim3(state)
+        fired = self._resolve_candidates(state)
+        if fired is None and self._pending_cand:
+            for item in self._pending_cand:
+                jax.block_until_ready(item[1])
+            fired = self._resolve_candidates(state)
+        return fired if fired is not None else (state, None)
 
     def _maybe_dispatch_sim3(self, state: ms.MapState):
-        """If the pending detection's results are host-resident and show a
-        gated candidate, dispatch the verification phase (learned matching +
-        vmapped Sim3 RANSAC) for that query keyframe; else drop it. Never
-        blocks: an unready pack stays pending."""
-        if self._pending_detect is None or self._pending_cand is not None:
-            return
-        kf_id, dpack = self._pending_detect
-        try:
-            if hasattr(dpack, "is_ready") and not dpack.is_ready():
-                return      # still in flight; try again next keyframe
-        except Exception:
-            pass
-        self._pending_detect = None
+        """Dispatch the verification phase (learned matching + vmapped Sim3
+        RANSAC) for every pending detection whose results are host-resident
+        and show a gated candidate. Never blocks: an unready pack stays
+        queued (the copies land in dispatch order, so the head gates the
+        rest). Multiple verifications ride in flight concurrently — with a
+        single slot, each detection serialized behind the previous one's
+        device round trip (+pipeline lag ~4 frames per hop) and a revisit
+        near the sequence end never matured into a hypothesis."""
+        while self._pending_detect and len(self._pending_cand) < 4:
+            kf_id, dpack = self._pending_detect[0]
+            try:
+                if hasattr(dpack, "is_ready") and not dpack.is_ready():
+                    return      # still in flight; try again next frame
+            except Exception:
+                pass
+            self._pending_detect.popleft()
+            if not self._dispatch_sim3_for(state, kf_id, dpack):
+                continue
+
+    def _dispatch_sim3_for(self, state: ms.MapState, kf_id, dpack) -> bool:
+        """Gate one resolved detection and dispatch its verification phase.
+        Returns True if a verification was dispatched."""
         p = np.asarray(dpack)
         B = self.cfg.n_candidates
         ids_np = p[:B].astype(np.int64)
@@ -783,7 +837,7 @@ class LoopCloser:
         self.score_log.append((int(kf_id), float(scores_np.max(initial=0.0)),
                                minscore, bool(keep.any())))
         if not keep.any():
-            return
+            return False
         ids_np = np.where(keep, ids_np, -1)
         self._rng, key = jax.random.split(self._rng)
         ids = jnp.asarray(ids_np, jnp.int32)
@@ -813,41 +867,44 @@ class LoopCloser:
             pack.copy_to_host_async()
         except AttributeError:
             pass
-        self._pending_cand = (kf_id, pack, s_all, R_all, t_all)
+        self._pending_cand.append((kf_id, pack, s_all, R_all, t_all))
+        return True
 
     def _resolve_candidates(self, state: ms.MapState):
-        """Read the deferred candidate pack and open a hypothesis if one
-        passed the gates. Returns (state, info) when the hypothesis fired
-        immediately (consistency_needed <= 1), else None. Never blocks: an
-        unready pack stays pending for the next keyframe."""
-        if self._pending_cand is None:
-            return None
-        kf_id, pack, s_all, R_all, t_all = self._pending_cand
-        try:
-            if hasattr(pack, "is_ready") and not pack.is_ready():
-                return None
-        except Exception:
-            pass
-        self._pending_cand = None
-        p = np.asarray(pack)
-        B = self.cfg.n_candidates
-        ids_np, nm_np = p[:B], p[B:2 * B]
-        ok_np, ninl_np = p[2 * B:3 * B], p[3 * B:]
-        for j, cand in enumerate(ids_np):
-            if cand < 0:
-                continue
-            if nm_np[j] < self.cfg.min_bow_matches:
-                continue
-            if not ok_np[j] or ninl_np[j] < self.cfg.min_sim3_inliers:
-                continue
-            # Geometric verification passed: open a hypothesis. It fires once
-            # `consistency_needed` consecutive keyframes confirm it.
-            self._hyp = {"cand": int(cand), "q_last": kf_id, "count": 1,
-                         "misses": 0, "s": s_all[j], "R": R_all[j],
-                         "t": t_all[j], "n_inliers": int(ninl_np[j])}
-            if self.cfg.consistency_needed <= 1:
-                return self._fire(state, kf_id)
-            break
+        """Read deferred candidate packs (in dispatch order, as many as have
+        landed) and open a hypothesis from the first that passes the gates.
+        Returns (state, info) when the hypothesis fired immediately
+        (consistency_needed <= 1), else None. Never blocks."""
+        while self._pending_cand and self._hyp is None:
+            kf_id, pack, s_all, R_all, t_all = self._pending_cand[0]
+            try:
+                if hasattr(pack, "is_ready") and not pack.is_ready():
+                    return None
+            except Exception:
+                pass
+            self._pending_cand.popleft()
+            p = np.asarray(pack)
+            B = self.cfg.n_candidates
+            ids_np, nm_np = p[:B], p[B:2 * B]
+            ok_np, ninl_np = p[2 * B:3 * B], p[3 * B:]
+            self.cand_log.append((int(kf_id), ids_np.tolist(),
+                                  nm_np.tolist(), ok_np.tolist(),
+                                  ninl_np.tolist()))
+            for j, cand in enumerate(ids_np):
+                if cand < 0:
+                    continue
+                if nm_np[j] < self.cfg.min_bow_matches:
+                    continue
+                if not ok_np[j] or ninl_np[j] < self.cfg.min_sim3_inliers:
+                    continue
+                # Geometric verification passed: open a hypothesis. It fires
+                # once `consistency_needed` consecutive keyframes confirm it.
+                self._hyp = {"cand": int(cand), "q_last": kf_id, "count": 1,
+                             "misses": 0, "s": s_all[j], "R": R_all[j],
+                             "t": t_all[j], "n_inliers": int(ninl_np[j])}
+                if self.cfg.consistency_needed <= 1:
+                    return self._fire(state, kf_id)
+                break
         return None
 
     def _advance_hypothesis(self, state: ms.MapState, kf_id: int):
@@ -859,6 +916,9 @@ class LoopCloser:
             jnp.asarray(kf_id, jnp.int32),
             jnp.asarray(hyp["cand"], jnp.int32),
             hyp["s"], hyp["R"], hyp["t"], self.cam_params, self.cfg.cam_kind)
+        self.hyp_log.append((int(hyp["q_last"]), int(kf_id),
+                             int(hyp["cand"]), int(n_proj), hyp["count"],
+                             hyp["misses"]))
         if int(n_proj) >= self.cfg.min_proj_verify:
             hyp.update(q_last=kf_id, count=hyp["count"] + 1, misses=0,
                        s=s1, R=R1, t=t1)
@@ -879,8 +939,8 @@ class LoopCloser:
         self._hyp = None
         # In-flight detections/packs were computed against pre-correction
         # geometry; drop them rather than open a bogus hypothesis.
-        self._pending_cand = None
-        self._pending_detect = None
+        self._pending_cand.clear()
+        self._pending_detect.clear()
         cand = hyp["cand"]
         # Prefer a fresh direct Sim3 solve against the candidate; fall back to
         # the propagated hypothesis if the direct match got weaker.
@@ -938,7 +998,7 @@ class LoopCloser:
                         self.cfg.merge_pose_graph_iters,
                         self.cfg.welding_window, mode=self.pose_graph_mode)
             info = {"loop": True, "merge": True, "candidate": cand,
-                    "n_inliers": n_inl,
+                    "query_kf": kf_id, "n_inliers": n_inl,
                     "scale": float(s), "n_fused": n_fused}
             self.loops_closed.append((kf_id, cand))
             return state, info
@@ -962,7 +1022,7 @@ class LoopCloser:
                                           cam_kind=self.cfg.cam_kind,
                                           iters=self.cfg.gba_iters,
                                           mesh=self.mesh, bf=self._bf_arr())
-        info = {"loop": True, "candidate": cand,
+        info = {"loop": True, "candidate": cand, "query_kf": kf_id,
                 "n_inliers": n_inl,
                 "scale": float(s),
                 "n_fused": int(n_fused),

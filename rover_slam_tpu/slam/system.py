@@ -359,6 +359,7 @@ class MonocularSLAM:
             with self.timers.stage("new_kf"):
                 self._insert_keyframe(frame)
         self._finishing_frame = None
+        self._poll_loop_closer()
 
         return {"state": self.tracking_state,
                 "n_inliers": self._last_n_inl,
@@ -407,12 +408,18 @@ class MonocularSLAM:
         self._kf_scalars = None
 
     def flush(self):
-        """Resolve all in-flight frames (pipeline mode). Call before reading
-        final trajectories/state."""
+        """Resolve all in-flight frames (pipeline mode) and drain the
+        deferred loop-detection pipeline. Call before reading final
+        trajectories/state."""
         info = None
         while self._pending:
             pf, pflags = self._pending.popleft()
             info = self._finish_track(pf, pflags)
+        if self.loop_closer is not None and self.n_kf >= 2:
+            self.state, linfo = self.loop_closer.finalize(self.state)
+            if linfo is not None:
+                self._handle_loop_info(linfo.get("query_kf", self.n_kf - 1),
+                                       linfo)
         return info
 
     # ------------------------------------------------------------------
@@ -804,13 +811,29 @@ class MonocularSLAM:
             with self.timers.stage("place_recog"):
                 self.state, linfo = self.loop_closer.on_keyframe(self.state,
                                                                  kf_id_i)
-            if linfo.get("loop"):
-                # Corrections moved landmarks / fused ids: refresh the
-                # cached search mask at the next insert.
-                self._local_mask = None
-                self.loop_events.append((kf_id_i, linfo))
-            if linfo.get("merge"):
-                self._on_map_merged(kf_id_i, linfo)
+            self._handle_loop_info(kf_id_i, linfo)
+
+    def _handle_loop_info(self, kf_id_i: int, linfo):
+        if not linfo:
+            return
+        if linfo.get("loop"):
+            # Corrections moved landmarks / fused ids: refresh the
+            # cached search mask at the next insert.
+            self._local_mask = None
+            self.loop_events.append((kf_id_i, linfo))
+        if linfo.get("merge"):
+            self._on_map_merged(kf_id_i, linfo)
+
+    def _poll_loop_closer(self):
+        """Per-frame non-blocking progress on the deferred loop-detection
+        pipeline (see LoopCloser.poll)."""
+        if self.loop_closer is None or self.n_kf < 2:
+            return
+        with self.timers.stage("place_recog"):
+            self.state, linfo = self.loop_closer.poll(self.state)
+        if linfo is not None:
+            self._handle_loop_info(linfo.get("query_kf", self.n_kf - 1),
+                                   linfo)
 
     def _on_map_merged(self, kf_id: int, info: dict):
         """Hook: a cross-map weld just happened (the loop closer already ran
