@@ -149,11 +149,17 @@ def main():
     slam.precompile()
     print(f"# warmup in {time.perf_counter()-t_w:.0f}s", file=sys.stderr)
     t0 = time.perf_counter()
+    frame_ms = []
     for i in range(n_warm, F):
+        t1 = time.perf_counter()
         step(i)
+        frame_ms.append((time.perf_counter() - t1) * 1000)
+    t_fl = time.perf_counter()
     slam.flush()
+    flush_ms = (time.perf_counter() - t_fl) * 1000
     wall = time.perf_counter() - t0
     fps = n_timed / wall
+    frame_ms = np.asarray(frame_ms)
 
     print(f"# integrated: {fps:.1f} fps over {n_timed} frames",
           file=sys.stderr, flush=True)
@@ -182,6 +188,24 @@ def main():
         g = np.stack([gt_pos[j] for _, j in pairs])
         rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
         ate_cm = round(float(rmse * 100), 2)
+
+    # Loop-closing observability (round-4 verdict weak #4): enough detail in
+    # the bench JSON that an n_loops=0 run explains itself — retrieval gate
+    # progress, verification dispatches, best seed/guided inlier counts.
+    lc = slam.loop_closer
+    loop_diag = {
+        "n_queries": len(lc.score_log),
+        "n_dispatched": sum(1 for r in lc.score_log if r[3]),
+        "max_retrieval_score": round(max((r[1] for r in lc.score_log),
+                                         default=0.0), 4),
+        "max_minscore_gate": round(max((r[2] for r in lc.score_log),
+                                       default=0.0), 4),
+        "best_seed_inliers": max((max(r[4]) for r in lc.cand_log
+                                  if len(r) > 4 and r[4]), default=0),
+        "best_proj_inliers": max((r[6] for r in lc.cand_log
+                                  if len(r) > 6), default=0),
+        "n_hyp_checks": len(lc.hyp_log),
+    }
 
     # --- decomposed detail (same queued-timing protocol as round 2) ---
     t_sp = time_it(lambda x: ext(x), imgs[0])
@@ -217,6 +241,14 @@ def main():
                  "merge": bool(li.get("merge", False)),
                  "n_fused": int(li.get("n_fused", 0))}
                 for k, li in slam.loop_events],
+            "loop_diag": loop_diag,
+            # Tail shape of the timed region (round-4 verdict weak #1: the
+            # headline died on tail stalls while the median ran 116 fps).
+            "frame_ms": {"median": round(float(np.median(frame_ms)), 2),
+                         "mean": round(float(frame_ms.mean()), 2),
+                         "p95": round(float(np.percentile(frame_ms, 95)), 2),
+                         "max": round(float(frame_ms.max()), 2),
+                         "flush_ms": round(flush_ms, 1)},
             "superpoint_ms": round(t_sp * 1000, 2),
             "lightglue_ms": round(t_lg * 1000, 2),
             "baseline": "reference real-time claim = 30 fps camera on RTX "

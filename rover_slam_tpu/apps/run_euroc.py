@@ -91,12 +91,22 @@ def main(argv=None):
             # Both eyes ride the batch dim of ONE SuperPoint call (the
             # reference spawns a second extraction thread, Frame.cc:142-146).
             img_r = pf_r.get(i).astype(np.float32) / 255.0
-            out = ext(jnp.asarray(np.stack([img, img_r])))
+            rr = getattr(slam, "rectification", None)
+            if rr is not None:
+                # RAW rig: remap both eyes through the build-time maps
+                # before extraction (reference src/System.cc:292-299).
+                from rover_slam_tpu.geometry import rectify as _rect
+                img = _rect.remap(jnp.asarray(img), jnp.asarray(rr.map1))
+                img_r = _rect.remap(jnp.asarray(img_r),
+                                    jnp.asarray(rr.map2))
+                out = ext(jnp.stack([img, img_r]))
+            else:
+                out = ext(jnp.asarray(np.stack([img, img_r])))
         else:
             out = ext(jnp.asarray(img[None]))
         kpts = out["keypoints"][0]
         rays = cameras.unproject_jit(settings.cam_kind,
-                                     jnp.asarray(settings.cam_params), kpts)
+                                     jnp.asarray(slam.cam_params), kpts)
         if t_imu is not None and hasattr(slam, "feed_imu") and i > 0:
             while imu_idx < len(t_imu) and t_imu[imu_idx] <= t_cam[i]:
                 # Feed RELATIVE time — track_frame gets t_rel below, and the

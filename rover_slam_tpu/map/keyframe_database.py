@@ -99,10 +99,10 @@ def db_permute(db: KeyFrameDB, old_of_new, new_live) -> KeyFrameDB:
 
 
 @functools.partial(jax.jit, static_argnames=("n_best",))
-def detect_candidates(db: KeyFrameDB, query_tf, covis_W, query_kf,
+def detect_candidates(db: KeyFrameDB, query_tf, query_kf,
                       connected_mask, n_best: int = 4):
-    """Loop/merge candidate detection with covisibility-group accumulation
-    (reference DetectNBestCandidates_sp).
+    """Loop/merge candidate detection by individual gated similarity
+    (reference DetectNBestCandidates_sp; see the divergence note below).
 
     connected_mask: [K] keyframes covisible with the query (excluded — a loop
     candidate must NOT be directly connected, reference :700).

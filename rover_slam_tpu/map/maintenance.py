@@ -324,41 +324,93 @@ def update_distinctive_descriptors(state: ms.MapState, kf_id,
     return state.replace(lm_desc=lm_desc)
 
 
-@jax.jit
-def _build_global_problem(state: ms.MapState, cam_params, bf=None):
+@functools.partial(jax.jit, static_argnames=("e_cap",))
+def _build_global_problem(state: ms.MapState, cam_params, bf=None,
+                          e_cap: int | None = None):
+    """Full-map BA problem. e_cap compacts the EDGE list to a static cap
+    with a nonzero gather: the padded [K*N] edge set runs ~30x more slots
+    than the map has live observations (bench scale: 524,288 slots vs ~18k
+    edges), and the PCG matvec is O(E) — the uncompacted global BA cost
+    ~1.2 s per 2-iteration chunk on-chip, the single biggest frame-time
+    tail in the product loop. Returns (problem, gather_idx|None)."""
     K, N, L = state.K, state.N, state.L
     li = state.kf_landmark_idx
     kv = state.kf_kpt_valid & state.kf_active[:, None]
     e_lm = jnp.clip(jnp.where((li >= 0) & kv, li, 0), 0, L - 1).reshape(-1)
     e_valid = ((li >= 0) & kv).reshape(-1) & state.lm_active[e_lm.reshape(-1)]
     e_kf = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
-    return ba.BAProblem(
+    e_uv = state.kf_kpts.reshape(-1, 2)
+    e_invd = None if bf is None else state.kf_kpt_invd.reshape(-1)
+    idx = None
+    if e_cap is not None and e_cap < K * N:
+        idx = jnp.nonzero(e_valid, size=e_cap, fill_value=0)[0]
+        n_val = jnp.sum(e_valid)
+        e_kf, e_lm, e_uv = e_kf[idx], e_lm[idx], e_uv[idx]
+        e_valid = jnp.arange(e_cap) < jnp.minimum(n_val, e_cap)
+        if e_invd is not None:
+            e_invd = e_invd[idx]
+    prob = ba.BAProblem(
         R_cw=state.kf_R_cw, t_cw=state.kf_t_cw,
         pose_opt_mask=state.kf_active & (jnp.arange(K) != 0),
         lm_pos=state.lm_pos, lm_opt_mask=state.lm_active,
         cam_params=cam_params,
         e_kf=e_kf.astype(jnp.int32), e_lm=e_lm.astype(jnp.int32),
-        e_uv=state.kf_kpts.reshape(-1, 2), e_valid=e_valid,
-        e_info=jnp.ones((K * N,), jnp.float32),
-        e_invd=(None if bf is None else state.kf_kpt_invd.reshape(-1)),
-        bf=bf)
+        e_uv=e_uv, e_valid=e_valid,
+        e_info=jnp.ones(e_valid.shape, jnp.float32),
+        e_invd=e_invd, bf=bf)
+    return prob, idx
 
 
-@functools.partial(jax.jit, static_argnames=("cam_kind", "iters"))
+# (e_cap, lm_cap) ladder for the compacted global BA: static shapes, so the
+# host picks the smallest level that fits the live map (with ~30% headroom)
+# and precompile warms the current AND next level — map growth between
+# precompile and a fired loop then stays compile-free.
+GBA_LEVELS = ((16384, 4096), (65536, 8192), (262144, 16384),
+              (1048576, 65536))
+
+
+def gba_level_for(n_edges: int) -> int:
+    for i, (e_cap, _) in enumerate(GBA_LEVELS):
+        if n_edges * 1.3 <= e_cap:
+            return i
+    return len(GBA_LEVELS) - 1
+
+
+def count_global_edges(state: ms.MapState) -> int:
+    """Host-side live observation count (ONE scalar fetch; callers use it
+    once per fired loop to pick the GBA compaction level)."""
+    li = state.kf_landmark_idx
+    kv = state.kf_kpt_valid & state.kf_active[:, None]
+    lm = jnp.clip(jnp.where((li >= 0) & kv, li, 0), 0, state.L - 1)
+    return int(jnp.sum(((li >= 0) & kv) & state.lm_active[lm]))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam_kind", "iters", "e_cap", "lm_cap"))
 def _global_ba_single(state: ms.MapState, cam_params, cam_kind: int,
-                      iters: int, bf=None) -> ms.MapState:
+                      iters: int, bf=None, e_cap: int | None = None,
+                      lm_cap: int | None = None) -> ms.MapState:
     K, N, L = state.K, state.N, state.L
-    prob = _build_global_problem(state, cam_params, bf=bf)
+    if e_cap is not None and e_cap >= K * N:
+        e_cap = None
+    if lm_cap is not None and lm_cap >= L:
+        lm_cap = None
+    prob, idx = _build_global_problem(state, cam_params, bf=bf, e_cap=e_cap)
     res = ba.solve_ba(prob, cam_kind=cam_kind, iters=iters, cg_iters=25,
-                      solver="pcg", phases=2, kf_major=True)
+                      solver="pcg", phases=2, kf_major=True, lm_cap=lm_cap)
     bad = (~res.e_inlier) & prob.e_valid
-    li_new = jnp.where(bad.reshape(K, N), -1, state.kf_landmark_idx)
+    if idx is not None:
+        bad_flat = jnp.zeros((K * N,), bool).at[idx].set(bad)
+    else:
+        bad_flat = bad
+    li_new = jnp.where(bad_flat.reshape(K, N), -1, state.kf_landmark_idx)
     return state.replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw,
                          lm_pos=res.lm_pos, kf_landmark_idx=li_new)
 
 
 def global_ba(state: ms.MapState, cam_params, cam_kind: int = cameras.PINHOLE,
-              iters: int = 10, mesh=None, bf=None) -> ms.MapState:
+              iters: int = 10, mesh=None, bf=None,
+              level: int | None = None) -> ms.MapState:
     """Full-map bundle adjustment (reference GlobalBundleAdjustemnt — 10 iters
     after a loop closure, run in a detached thread; here one device program
     over every active keyframe/landmark using the PCG solver).
@@ -371,11 +423,15 @@ def global_ba(state: ms.MapState, cam_params, cam_kind: int = cameras.PINHOLE,
     is the problem that outgrows one chip first. (The sharded path's
     edge-partitioning is host-side, so this branch runs outside jit.)"""
     if mesh is None or mesh.devices.size <= 1:
+        e_cap = lm_cap = None
+        if level is not None:
+            e_cap, lm_cap = GBA_LEVELS[min(level, len(GBA_LEVELS) - 1)]
         return _global_ba_single(state, cam_params, cam_kind=cam_kind,
-                                 iters=iters, bf=bf)
+                                 iters=iters, bf=bf, e_cap=e_cap,
+                                 lm_cap=lm_cap)
     from ..parallel import sharded_ba
     L = state.L
-    prob = _build_global_problem(state, cam_params)
+    prob, _ = _build_global_problem(state, cam_params)
     R, t, lm_pos, _ = sharded_ba.solve_ba_sharded_lm(
         prob, mesh, cam_kind=cam_kind, iters=iters, cg_iters=25)
     return state.replace(kf_R_cw=R, kf_t_cw=t, lm_pos=lm_pos[:L])

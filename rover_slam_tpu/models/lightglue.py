@@ -360,13 +360,33 @@ class LightGlueFrameMatcher:
     def __init__(self, matcher: LightGlueMatcher, image_hw):
         self.matcher = matcher
         self.image_hw = tuple(image_hw)
+        hw = self.image_hw
+
+        # ONE jitted program per call shape: keypoint normalization + the
+        # transformer + match extraction. The eager normalize ops in front
+        # of the jitted model were ~6 extra device programs per frame —
+        # pure dispatch overhead on a tunneled TPU (~0.3 ms each), riding
+        # the hottest per-frame path.
+        def _pair(params, kpts0, desc0, valid0, kpts1, desc1, valid1):
+            k0 = normalize_keypoints(kpts0, hw)[None]
+            k1 = normalize_keypoints(kpts1, hw)[None]
+            out = matcher._forward(params, k0, desc0[None], valid0[None],
+                                   k1, desc1[None], valid1[None])
+            return out["matches0"][0]
+
+        def _batch(params, kpts0, desc0, valid0, kpts1, desc1, valid1):
+            k0 = normalize_keypoints(kpts0, hw)
+            k1 = normalize_keypoints(kpts1, hw)
+            out = matcher._forward(params, k0, desc0, valid0,
+                                   k1, desc1, valid1)
+            return out["matches0"]
+
+        self._pair = jax.jit(_pair)
+        self._batch = jax.jit(_batch)
 
     def __call__(self, kpts0, desc0, valid0, kpts1, desc1, valid1):
-        k0 = normalize_keypoints(kpts0, self.image_hw)[None]
-        k1 = normalize_keypoints(kpts1, self.image_hw)[None]
-        out = self.matcher(k0, desc0[None], valid0[None],
-                           k1, desc1[None], valid1[None])
-        return out["matches0"][0]
+        return self._pair(self.matcher.params, kpts0, desc0, valid0,
+                          kpts1, desc1, valid1)
 
     def match_batch(self, kpts0, desc0, valid0, kpts1, desc1, valid1):
         """Batched pair matching: [B,N,...] inputs -> [B,N] int32 matches
@@ -375,7 +395,5 @@ class LightGlueFrameMatcher:
         LightGlue once per covisible neighbor in SearchForTriangulation,
         src/Matchers/SPmatcher.cc:1355-1399, and once per candidate window
         keyframe in SearchByBoWSP, :1670-1734)."""
-        k0 = normalize_keypoints(kpts0, self.image_hw)
-        k1 = normalize_keypoints(kpts1, self.image_hw)
-        out = self.matcher(k0, desc0, valid0, k1, desc1, valid1)
-        return out["matches0"]
+        return self._batch(self.matcher.params, kpts0, desc0, valid0,
+                           kpts1, desc1, valid1)

@@ -516,10 +516,9 @@ class MonocularSLAM:
             from ..map import keyframe_database as kdb
             tf = kdb.bow_transform(self.loop_closer.db.vocab,
                                    frame.desc.astype(jnp.float32), frame.valid)
-            W = ms.covisibility(self.state)
             none_conn = jnp.zeros((self.state.K,), bool)
             ids, _ = kdb.detect_candidates(
-                self.loop_closer.db, tf, W,
+                self.loop_closer.db, tf,
                 self.n_kf - 1, none_conn, n_best=n_cand)
             ids = np.asarray(ids)
         else:
@@ -1019,7 +1018,7 @@ class MonocularSLAM:
             new_live = np.arange(self.state.K) < len(olds)
             self.loop_closer.db = kdb.db_permute(
                 self.loop_closer.db, jnp.asarray(perm), jnp.asarray(new_live))
-            self.loop_closer._pending_cand = None   # slot ids renumbered
+            self.loop_closer.on_compaction()        # slot ids renumbered
             hyp = self.loop_closer._hyp
             if hyp is not None:
                 c, q = int(kf_map[hyp["cand"]]), int(kf_map[hyp["q_last"]])

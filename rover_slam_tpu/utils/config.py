@@ -44,6 +44,13 @@ class Settings:
     load_atlas: Optional[str] = None
     save_atlas: Optional[str] = None
     loop_closing: bool = True
+    # StereoRectification when the YAML describes a RAW (distorted,
+    # non-coplanar) pinhole stereo rig: drivers remap images (or rectify
+    # keypoints) with it before the extractor, and build_system uses its
+    # K_new/bf (reference builds the cv::stereoRectify maps in the Settings
+    # constructor, src/Settings.cc:560-575, and System::TrackStereo remaps,
+    # src/System.cc:292-299).
+    rectification: Optional[object] = None
     raw: dict = field(default_factory=dict)
 
 
@@ -122,15 +129,37 @@ def load_settings(path_or_dict, sensor: str = "monocular") -> Settings:
     fps = float(_get(d, "Camera.fps", default=30.0))
 
     baseline = None
+    rectification = None
     if "stereo" in sensor:
         bf = _get(d, "Camera.bf")
         if bf is not None:
             baseline = float(bf) / float(fx)
         tlr = _get(d, "Stereo.T_c1_c2")
-        if baseline is None and tlr is not None:
+        if tlr is not None:
             m = np.asarray(tlr.get("data", tlr) if isinstance(tlr, dict) else tlr,
                            np.float64).reshape(4, 4)
-            baseline = float(np.linalg.norm(m[:3, 3]))
+            if baseline is None:
+                baseline = float(np.linalg.norm(m[:3, 3]))
+            # RAW pinhole rig (distortion coefficients present): build the
+            # rectification (reference src/Settings.cc:560-575). T_c1_c2 is
+            # cam2-in-cam1; invert for x_2 = R_21 x_1 + t_21.
+            d1 = [_get_any(d, [f"Camera1.{k}", f"Camera.{k}"], default=0.0)
+                  for k in ("k1", "k2", "p1", "p2")]
+            d2 = [_get(d, f"Camera2.{k}", default=0.0)
+                  for k in ("k1", "k2", "p1", "p2")]
+            if kind == cameras.PINHOLE and any(abs(v) > 0 for v in d1 + d2):
+                from ..geometry import rectify as _rect
+                fx2 = _get(d, "Camera2.fx", default=fx)
+                fy2 = _get(d, "Camera2.fy", default=fy)
+                cx2 = _get(d, "Camera2.cx", default=cx)
+                cy2 = _get(d, "Camera2.cy", default=cy)
+                R_12, t_12 = m[:3, :3], m[:3, 3]
+                R_21 = R_12.T
+                t_21 = -R_12.T @ t_12
+                rectification = _rect.stereo_rectify_maps(
+                    np.array([fx, fy, cx, cy], np.float64), np.asarray(d1),
+                    np.array([fx2, fy2, cx2, cy2], np.float64),
+                    np.asarray(d2), R_21, t_21, (h, w))
         if baseline is None:
             raise SettingsError("stereo sensor needs Camera.bf or Stereo.T_c1_c2")
 
@@ -168,6 +197,7 @@ def load_settings(path_or_dict, sensor: str = "monocular") -> Settings:
         load_atlas=_get(d, "System.LoadAtlasFromFile"),
         save_atlas=_get(d, "System.SaveAtlasToFile"),
         loop_closing=bool(_get(d, "loopClosing", default=1)),
+        rectification=rectification if "stereo" in sensor else None,
         raw=d)
 
 
@@ -278,6 +308,16 @@ def build_system(settings: Settings, **kw):
             from ..slam.stereo import FisheyeStereoSLAM
             slam = FisheyeStereoSLAM(settings.cam_params, _stereo_trl(settings),
                                      config=cfg, **kw)
+        elif settings.rectification is not None:
+            # RAW rig: the system runs in the RECTIFIED frame (K_new, bf) —
+            # the driver remaps images / rectifies keypoints through
+            # settings.rectification before the extractor (reference
+            # src/System.cc:292-299).
+            rr = settings.rectification
+            slam = StereoSLAM(cameras.make_pinhole(*rr.K_new),
+                              float(rr.bf_px / rr.K_new[0]),
+                              config=cfg, **kw)
+            slam.rectification = rr
         else:
             slam = StereoSLAM(settings.cam_params, settings.baseline,
                               config=cfg, **kw)
@@ -287,6 +327,13 @@ def build_system(settings: Settings, **kw):
             slam = FisheyeStereoInertialSLAM(
                 settings.cam_params, settings.imu, _stereo_trl(settings),
                 config=cfg, **kw)
+        elif settings.rectification is not None:
+            rr = settings.rectification
+            slam = StereoInertialSLAM(cameras.make_pinhole(*rr.K_new),
+                                      settings.imu,
+                                      float(rr.bf_px / rr.K_new[0]),
+                                      config=cfg, **kw)
+            slam.rectification = rr
         else:
             slam = StereoInertialSLAM(settings.cam_params, settings.imu,
                                       settings.baseline, config=cfg, **kw)

@@ -50,12 +50,11 @@ def _recall_at4(laps, desc_dim):
     db = kdb.empty_db(desc_dim, K=N_VIEWS + 1, n_words=2048, seed=3)
     for i, f in enumerate(lap1):
         db = kdb.db_add(db, i, f.desc.astype(jnp.float32), f.valid)
-    W0 = jnp.zeros((N_VIEWS + 1, N_VIEWS + 1))
     hits = 0
     for i, f in enumerate(lap2):
         tf = kdb.bow_transform(db.vocab, f.desc.astype(jnp.float32), f.valid)
         none_conn = jnp.zeros((N_VIEWS + 1,), bool)
-        ids, _ = kdb.detect_candidates(db, tf, W0, N_VIEWS, none_conn,
+        ids, _ = kdb.detect_candidates(db, tf, N_VIEWS, none_conn,
                                        n_best=4)
         ids = np.asarray(ids)
         ok = any(abs(int(j) - i) <= 1 or abs(int(j) - i) >= N_VIEWS - 1
@@ -108,12 +107,11 @@ def test_recall_trained_superpoint():
         feats.append(fs)
     for i, (d, v) in enumerate(feats[0]):
         db = kdb.db_add(db, i, d, v)
-    W0 = jnp.zeros((N_VIEWS + 1, N_VIEWS + 1))
     hits = 0
     for i, (d, v) in enumerate(feats[1]):
         tf = kdb.bow_transform(db.vocab, d, v)
         ids, _ = kdb.detect_candidates(
-            db, tf, W0, N_VIEWS, jnp.zeros((N_VIEWS + 1,), bool), n_best=4)
+            db, tf, N_VIEWS, jnp.zeros((N_VIEWS + 1,), bool), n_best=4)
         ok = any(abs(int(j) - i) <= 1 or abs(int(j) - i) >= N_VIEWS - 1
                  for j in np.asarray(ids) if j >= 0)
         hits += ok

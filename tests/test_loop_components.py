@@ -179,9 +179,8 @@ class TestKeyFrameDB:
             d /= np.linalg.norm(d, axis=1, keepdims=True)
             db = kdb.db_add(db, k, jnp.asarray(d), jnp.ones(N, bool))
         tfq = kdb.bow_transform(db.vocab, jnp.asarray(base), jnp.ones(N, bool))
-        covis = jnp.zeros((K, K))
         connected = jnp.zeros(K, bool).at[0].set(True).at[1].set(True)
-        ids, scores = kdb.detect_candidates(db, tfq, covis, 2, connected,
+        ids, scores = kdb.detect_candidates(db, tfq, 2, connected,
                                             n_best=4)
         ids = np.asarray(ids)
         assert 7 == ids[0]          # most similar unconnected KF wins

@@ -328,6 +328,8 @@ def test_kf_cull_cadence_wired():
     slam = MonocularSLAM(world.cam_params, map_capacity=(48, 512, 8192),
                          desc_dim=64,
                          config=TrackerConfig(kf_cull_every=4,
+                                              kf_min_interval=0,
+                                              kf_tracked_ratio=1.0,
                                               kf_max_interval=1))
     for f in frames:
         slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time)
@@ -383,3 +385,39 @@ def test_device_trace_writes_profile(tmp_path):
         with annotate("unit-test-span"):
             jnp.ones((8, 8)).sum().block_until_ready()
     assert glob.glob(logdir + "/plugins/profile/*/*.xplane.pb")
+
+
+def test_global_ba_edge_compaction_parity():
+    """Compacted global BA (edge nonzero-gather + lm_cap,
+    maintenance.GBA_LEVELS) must match the full padded solve: the padded
+    [K*N] edge set runs ~30x more slots than live observations and cost
+    ~1.2 s per chunk on-chip (round-5 tail fix)."""
+    from rover_slam_tpu.map import maintenance
+    from rover_slam_tpu.slam.system import MonocularSLAM
+    from rover_slam_tpu.slam.tracking import TrackerConfig
+    world = synthetic.make_world(n_landmarks=1500, desc_dim=32, seed=2)
+    R_gt, t_gt, times = synthetic.forward_trajectory(n_frames=14, dt=0.1,
+                                                     speed=0.6, yaw_rate=0.04)
+    frames = synthetic.render_sequence(world, R_gt, t_gt, times, n_kpts=256,
+                                       pix_noise=0.5, desc_noise=0.05)
+    slam = MonocularSLAM(world.cam_params, map_capacity=(32, 256, 4096),
+                         desc_dim=32,
+                         config=TrackerConfig(min_init_matches=30,
+                                              kf_min_interval=0,
+                                              kf_tracked_ratio=1.0,
+                                              kf_max_interval=2))
+    for f in frames:
+        slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time)
+    st = slam.state
+    n_e = maintenance.count_global_edges(st)
+    assert n_e > 100
+    lvl = maintenance.gba_level_for(n_e)
+    out_full = maintenance.global_ba(st, slam.cam_params, iters=4)
+    out_cmp = maintenance.global_ba(st, slam.cam_params, iters=4, level=lvl)
+    act = np.asarray(st.kf_active)
+    dt = np.abs(np.asarray(out_full.kf_t_cw)
+                - np.asarray(out_cmp.kf_t_cw))[act]
+    assert dt.max() < 5e-3, dt.max()
+    lact = np.asarray(st.lm_active)
+    dl = np.abs(np.asarray(out_full.lm_pos) - np.asarray(out_cmp.lm_pos))[lact]
+    assert np.median(dl) < 5e-3

@@ -98,7 +98,10 @@ class TestLiveLoopShardedGBA:
         from rover_slam_tpu.slam.tracking import TrackerConfig
         slam = MonocularSLAM(world.cam_params,
                              map_capacity=(32, 256, 4096), desc_dim=32,
-                             config=TrackerConfig(min_init_matches=30))
+                             config=TrackerConfig(min_init_matches=30,
+                                                  kf_min_interval=0,
+                                                  kf_tracked_ratio=1.0,
+                                                  kf_max_interval=2))
         for f in frames:
             slam.track_frame(f.kpts, f.rays, f.desc, f.valid, f.time)
         return slam
