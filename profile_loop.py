@@ -44,10 +44,18 @@ def main():
         LightGlueMatcher(params=lg_params, num_kpts=NK, num_layers=9,
                          threshold=0.1), (H, W))
     cfg = TrackerConfig(image_hw=(H, W), local_map_only=True, kf_cull_every=0,
-                        min_init_matches=40, min_inliers_local_map=20)
+                        min_init_matches=40, min_inliers_local_map=20,
+                        kf_tracked_ratio=float(
+                            os.environ.get("PROF_KF_RATIO", "0.75")),
+                        ba_iters=int(os.environ.get("PROF_BA_ITERS", "2")))
+    # Env knobs for tuning sweeps (defaults = the bench configuration).
+    lc_cfg = LoopConfig(
+        min_covis_weight=30,
+        gba_iters=int(os.environ.get("PROF_GBA_ITERS", "10")),
+        gba_chunk_iters=int(os.environ.get("PROF_GBA_CHUNK", "1")))
     slam = MonocularSLAM(cam, config=cfg, map_capacity=(512, NK, 16384),
                          desc_dim=D, enable_loop_closing=True,
-                         loop_config=LoopConfig(min_covis_weight=30),
+                         loop_config=lc_cfg,
                          pipeline=4, matcher=matcher)
     camj = jnp.asarray(cam)
 
@@ -82,7 +90,26 @@ def main():
         step(i, True)
     slam.flush()
     wall = time.perf_counter() - t0
-    print(f"fps={n_timed/wall:.2f} n_kf={slam.n_kf}")
+    # ATE with the bench's protocol (scale-aligned Horn) so tuning
+    # experiments get a quality number without a full bench run.
+    from rover_slam_tpu.utils import trajectory
+    est_t, est_R, est_tcw = slam.get_trajectory()
+    ate_cm = float("nan")
+    if len(est_t) > 10:
+        est_pos = np.stack([-est_R[i].T @ est_tcw[i]
+                            for i in range(len(est_t))])
+        fin = (np.isfinite(est_pos).all(axis=1)
+               & np.isfinite(est_R.reshape(len(est_t), -1)).all(axis=1))
+        gt_pos = np.stack([-R_gt[i].T @ t_gt[i] for i in range(len(times))])
+        pairs = [(i, j) for i, j in
+                 trajectory.associate_by_time(est_t, times) if fin[i]]
+        if len(pairs) > 10:
+            e = np.stack([est_pos[i] for i, _ in pairs])
+            g = np.stack([gt_pos[j] for _, j in pairs])
+            rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
+            ate_cm = round(float(rmse * 100), 2)
+    print(f"fps={n_timed/wall:.2f} n_kf={slam.n_kf} ate_cm={ate_cm} "
+          f"n_loops={len(slam.loop_events)}")
     for k, v in sorted(acc.items()):
         v = np.array(v)
         print(f"{k}: med={np.median(v):.2f} mean={v.mean():.2f} "

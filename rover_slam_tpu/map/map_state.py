@@ -258,6 +258,17 @@ def covisibility(state: MapState) -> jnp.ndarray:
     return W.astype(jnp.int32)
 
 
+def covisibility_row(state: MapState, kf_id) -> jnp.ndarray:
+    """ONE keyframe's shared-landmark counts against all others: [K] int32,
+    self-count zeroed. An O(K*L) matvec instead of covisibility()'s O(K^2*L)
+    matmul — the place-recognition/verification kernels only consume the
+    query's row, and the full matrix cost ~4 ms per keyframe at the bench
+    capacities (K=512, L=16k, f32-highest)."""
+    obs = observation_matrix(state)
+    row = obs @ obs[kf_id]
+    return row.at[kf_id].set(0.0).astype(jnp.int32)
+
+
 def best_covisible(W: jnp.ndarray, kf_id, n: int):
     """Top-n covisible keyframes of kf_id by weight. Returns (ids[n], weights[n])."""
     w = W[kf_id]

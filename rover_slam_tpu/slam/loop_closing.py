@@ -53,6 +53,18 @@ class LoopConfig:
                                    # proj matches at ~4x the match density)
     guided_radius: float = 16.0    # first-round guided search radius (px)
     sim3_gn_iters: int = 8         # GN iterations per guided round
+    # Run the learned matcher (batched LightGlue) inside the PER-CANDIDATE
+    # verification dispatch. Default off: the verification stage seeds from
+    # full-set mutual-NN (unioned with learned matches when provided), and
+    # measured on the bench orbit the in-env LightGlue adds ~nothing on
+    # wide-baseline revisit pairs (it is adjacent-frame-trained) while its
+    # batch-4 dispatch is 13.7 ms — ~18 gated-but-stale verifications
+    # per lap clogged the in-flight queue and pushed the TRUE revisit's
+    # resolution to flush. The learned matcher still drives the fire-time
+    # re-solve (_kf_matches) whose Sim3 the correction actually uses, the
+    # tracker, triangulation and relocalization. Set True when running the
+    # PUBLIC wide-baseline-trained checkpoint.
+    learned_verify_matches: bool = False
     min_recent_kfs_gap: int = 10   # don't match against very recent KFs
     min_recent_time_s: float = 3.0   # ALSO exclude same-map candidates within
                                      # this many seconds of the query — a
@@ -146,7 +158,8 @@ def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
     desc = state.kf_desc[kf_id].astype(jnp.float32)
     valid = state.kf_kpt_valid[kf_id]
     query_tf = kdb.bow_transform(db.vocab, desc, valid)
-    W = ms.covisibility(state)
+    W_row = ms.covisibility_row(state, kf_id)   # only the query's row is
+    # consumed — the full K^2 matrix cost ~4 ms per keyframe
     same_map = state.kf_map_id == state.kf_map_id[kf_id]
     recent = (jnp.arange(state.K) >= kf_id - gap) | \
         (jnp.abs(state.kf_time - state.kf_time[kf_id]) < recent_s)
@@ -157,7 +170,7 @@ def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
     # closure, the local-map search re-associates a handful of old landmarks
     # with the current frames, which put W[query, true_candidate] at 1-5
     # while the candidate is still the geometric revisit.
-    connected = (W[kf_id] >= connected_w) | (recent & same_map)
+    connected = (W_row >= connected_w) | (recent & same_map)
     ids, scores = kdb.detect_candidates(db, query_tf, kf_id, connected,
                                         n_best=n_best)
     # Absolute retrieval floor (reference DetectLoopCandidates minScore,
@@ -167,7 +180,7 @@ def _detect_and_add_kernel(state: ms.MapState, db, kf_id, n_best: int,
     # expensive Sim3/learned-matching phase so it only dispatches on
     # plausible revisits instead of every keyframe.
     covis_sims = kdb.bow_similarity(query_tf, db.tf)
-    neigh = (W[kf_id] > 0) & db.active
+    neigh = (W_row > 0) & db.active
     minscore = jnp.min(jnp.where(neigh, covis_sims, jnp.inf))
     minscore = jnp.where(jnp.isfinite(minscore), minscore, 0.0)
     db2 = kdb.db_add(db, kf_id, desc, valid)
@@ -196,11 +209,10 @@ def _guided_refine_body(state: ms.MapState, kf_q, kf_c, s0, R0, t0,
 
     Returns (s, R, t, n_inl): Sim3 candidate-camera -> query-camera and the
     post-refit projection inlier count (the acceptance statistic)."""
-    W = ms.covisibility(state)
     anchor = jnp.clip(state.lm_anchor_kf, 0, state.K - 1)
-    c_group = (W[kf_c] > 0).at[kf_c].set(True)
+    c_group = (ms.covisibility_row(state, kf_c) > 0).at[kf_c].set(True)
     cand_lm = state.lm_active & c_group[anchor]
-    q_group = (W[kf_q] > 0).at[kf_q].set(True)
+    q_group = (ms.covisibility_row(state, kf_q) > 0).at[kf_q].set(True)
     query_lm = state.lm_active & q_group[anchor]
     Xc_all = lie.se3_apply(state.kf_R_cw[kf_c], state.kf_t_cw[kf_c],
                            state.lm_pos)
@@ -571,8 +583,7 @@ def _verify_hypothesis_kernel(state: ms.MapState, kf_q0, kf_q1, kf_c,
     t1 = R_rel @ t_qc + t_rel
 
     # Candidate covis-region landmarks into kf_q1 via the hypothesis.
-    W = ms.covisibility(state)
-    c_group = (W[kf_c] > 0).at[kf_c].set(True)
+    c_group = (ms.covisibility_row(state, kf_c) > 0).at[kf_c].set(True)
     anchor = jnp.clip(state.lm_anchor_kf, 0, state.K - 1)
     cand_lm = state.lm_active & c_group[anchor]
     Xc_cam = lie.se3_apply(state.kf_R_cw[kf_c], state.kf_t_cw[kf_c],
@@ -604,8 +615,7 @@ def _fuse_after_loop_kernel(state: ms.MapState, kf_q, kf_c, cam_params,
     merged-INTO map's points (src/LoopClosing.cc:2660+)."""
     L = state.L
     # Landmarks anchored near the candidate keyframe (its covis group).
-    W = ms.covisibility(state)
-    c_group = (W[kf_c] > 0).at[kf_c].set(True)
+    c_group = (ms.covisibility_row(state, kf_c) > 0).at[kf_c].set(True)
     anchor = jnp.clip(state.lm_anchor_kf, 0, state.K - 1)
     cand_lm = state.lm_active & c_group[anchor]
     uv, depth, visible = assoc.project_landmarks(
@@ -886,7 +896,8 @@ class LoopCloser:
             jnp.asarray(self.cfg.min_recent_time_s, jnp.float32),
             jnp.asarray(self.cfg.connected_min_weight, jnp.int32))[1]]
         ext = None
-        if self.matcher is not None and hasattr(self.matcher, "match_batch"):
+        if (self.cfg.learned_verify_matches and self.matcher is not None
+                and hasattr(self.matcher, "match_batch")):
             # Device-index gathers, NOT [0]: the dispatch path uses dynamic
             # indices and a static slice is a different XLA program.
             jc = jnp.zeros((B,), jnp.int32)
@@ -901,6 +912,10 @@ class LoopCloser:
                 state.kf_kpts[jc], state.kf_desc[jc].astype(jnp.float32),
                 state.kf_kpt_valid[jc])
             outs.append(ext)
+        # ids arrive as int64 numpy in the dispatch path — warm that exact
+        # convert+device-put program too (round-5 trace caught its 0.34 s
+        # compile inside the timed region).
+        outs.append(jnp.asarray(np.full((B,), -1, np.int64), jnp.int32))
         outs.append(_sim3_candidates_kernel(
             state, kf0, ids, self.cam_params, key, self.cfg.cam_kind,
             self.cfg.fix_scale, ext_matches=ext, **self._sim3_kwargs())[0])
@@ -1175,7 +1190,8 @@ class LoopCloser:
         self._rng, key = jax.random.split(self._rng)
         ids = jnp.asarray(ids_np, jnp.int32)
         ext = None
-        if self.matcher is not None and hasattr(self.matcher, "match_batch"):
+        if (self.cfg.learned_verify_matches and self.matcher is not None
+                and hasattr(self.matcher, "match_batch")):
             # Learned candidate matching (reference SearchByBoWSP LightGlue,
             # src/Matchers/SPmatcher.cc:1670-1734): ONE batched dispatch for
             # all candidates. Indices go in as DEVICE arrays: a Python-int
