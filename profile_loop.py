@@ -86,9 +86,29 @@ def main():
     slam.flush()
     slam.precompile()
     t0 = time.perf_counter()
+    per_frame = []
     for i in range(n_warm, F):
+        t1 = time.perf_counter()
         step(i, True)
-    slam.flush()
+        per_frame.append((i - n_warm, (time.perf_counter() - t1) * 1000))
+    t_fl = time.perf_counter()
+    lc0 = slam.loop_closer
+    pend = (len(lc0._pending_detect), len(lc0._pending_cand),
+            lc0._gba_pending, lc0._hyp is not None)
+    while slam._pending:
+        pf, pflags = slam._pending.popleft()
+        slam._finish_track(pf, pflags)
+    t_mid = time.perf_counter()
+    if slam.loop_closer is not None and slam.n_kf >= 2:
+        slam.state, linfo = slam.loop_closer.finalize(slam.state)
+        if linfo is not None:
+            slam._handle_loop_info(linfo.get("query_kf", slam.n_kf - 1),
+                                   linfo)
+    t_end = time.perf_counter()
+    print(f"flush: drain_frames={1000*(t_mid-t_fl):.0f}ms "
+          f"finalize={1000*(t_end-t_mid):.0f}ms "
+          f"pending(det,cand,gba,hyp)={pend}")
+    flush_ms = (time.perf_counter() - t_fl) * 1000
     wall = time.perf_counter() - t0
     # ATE with the bench's protocol (scale-aligned Horn) so tuning
     # experiments get a quality number without a full bench run.
@@ -109,7 +129,12 @@ def main():
             rmse, _ = trajectory.ate_rmse(e, g, with_scale=True)
             ate_cm = round(float(rmse * 100), 2)
     print(f"fps={n_timed/wall:.2f} n_kf={slam.n_kf} ate_cm={ate_cm} "
-          f"n_loops={len(slam.loop_events)}")
+          f"n_loops={len(slam.loop_events)} flush_ms={flush_ms:.0f}")
+    pf = np.array([m for _, m in per_frame])
+    print(f"frame_ms: med={np.median(pf):.2f} mean={pf.mean():.2f} "
+          f"p95={np.percentile(pf, 95):.2f} max={pf.max():.2f}")
+    worst = sorted(per_frame, key=lambda x: -x[1])[:12]
+    print("slowest frames:", [(i, round(m, 1)) for i, m in sorted(worst)])
     for k, v in sorted(acc.items()):
         v = np.array(v)
         print(f"{k}: med={np.median(v):.2f} mean={v.mean():.2f} "

@@ -103,6 +103,12 @@ class LoopConfig:
     # (maintenance.GBA_LEVELS) — one iteration per frame keeps GBA frames
     # near the ~50 ms tail budget.
     gba_chunk_iters: int = 1
+    # Keyframes after a fired correction during which no NEW detection is
+    # queued (keyframes still enter the database). Mirrors the reference's
+    # mLastLoopKFid + 10 re-detection ban (src/LoopClosing.cc:389-394);
+    # also keeps the flush-time drain from blocking on stale post-weld
+    # verifications.
+    post_fire_ban_kfs: int = 10
     # Temporal consistency: a hypothesis must be re-confirmed by consecutive
     # keyframes before the correction fires (reference: 3 consecutive KFs,
     # mnLoopNumCoincidences src/LoopClosing.cc:452-475; kept alive through
@@ -839,6 +845,13 @@ class LoopCloser:
         # {cand, q_last, count, misses, s, R, t} with (s,R,t) the Sim3
         # candidate-camera -> q_last-camera (reference mnLoopNumCoincidences).
         self._hyp = None
+        # Post-fire detection ban: after a loop correction, the welded
+        # region is covisibility-connected but stale in-flight retrievals
+        # against it would keep dispatching verification work (and the
+        # flush-time drain would block on them). The reference bans
+        # re-detection for 10 keyframes after a closure
+        # (src/LoopClosing.cc:389-394, mLastLoopKFid + 10 guard).
+        self._ban_until_kf = -1
 
     def _bf_arr(self):
         import jax.numpy as _jnp
@@ -1054,6 +1067,10 @@ class LoopCloser:
             self._pending_detect.clear()
             return self._advance_hypothesis(state, kf_id)
 
+        if kf_id < self._ban_until_kf:
+            # Post-fire ban window: the keyframe still entered the database
+            # (the fused kernel above), but no new detection is queued.
+            return state, info
         self._pending_detect.append((kf_id, dpack))
         # Resolve earlier keyframes' Sim3 candidate packs / dispatch gated
         # verification phases for detections whose async copies have landed
@@ -1353,6 +1370,7 @@ class LoopCloser:
                     "query_kf": kf_id, "n_inliers": n_inl,
                     "scale": float(s), "n_fused": n_fused}
             self.loops_closed.append((kf_id, cand))
+            self._ban_until_kf = kf_id + self.cfg.post_fire_ban_kfs
             return state, info
         # Same-map loop: correct the graph.
         state, costs = _correct_loop_kernel(
@@ -1388,4 +1406,5 @@ class LoopCloser:
                 "n_fused": int(n_fused),
                 "pg_cost": float(costs[-1])}
         self.loops_closed.append((kf_id, cand))
+        self._ban_until_kf = kf_id + self.cfg.post_fire_ban_kfs
         return state, info

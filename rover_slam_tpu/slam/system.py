@@ -526,6 +526,14 @@ class MonocularSLAM:
         ids = ids[(ids >= 0) & (ids < self.n_kf)]
         if len(ids) == 0:
             return None
+        # Pad to a STATIC batch of n_cand (duplicates of the first hit):
+        # a variable candidate count would compile a separate batched-match
+        # + reloc program per B, and any of them landing mid-run stalls the
+        # loop for tens of seconds. Duplicate candidates only re-verify the
+        # same keyframe; the PnP stage keeps the best hypothesis.
+        if len(ids) < n_cand:
+            ids = np.concatenate([ids, np.full(n_cand - len(ids), ids[0],
+                                               ids.dtype)])
         idc = jnp.asarray(ids, jnp.int32)
         jc = jnp.clip(idc, 0, self.state.K - 1)
         ext = self.matcher.match_batch(
@@ -653,6 +661,23 @@ class MonocularSLAM:
                                         prev.valid, prev_lidx, prev, R0, t0,
                                         ext, bf_arr)
             jax.block_until_ready(outs[6])
+        # Relocalization path: tracking loss mid-run would otherwise pay the
+        # batched-match + PnP compiles inside the timed/served region
+        # (measured: a first reloc dispatch stalled a run by 42 s).
+        if prev is not None and self.n_kf >= 2 and prev.kpts is not None:
+            self._rng, key = jax.random.split(self._rng)
+            ext = self._reloc_candidates_matches(prev)
+            if ext is not None:
+                cand_ids, ext_m = ext
+                outs = T._reloc_from_kf_matches(
+                    self.state, cand_ids, ext_m, prev.kpts, prev.desc,
+                    prev.valid, self.cam_params, key, self.cfg.cam_kind)
+                jax.block_until_ready(outs[0])
+            else:
+                outs = T._relocalize_kernel(
+                    self.state, prev.kpts, prev.desc, prev.valid,
+                    self.cam_params, key, self.cfg.cam_kind)
+                jax.block_until_ready(outs[0])
         if self.loop_closer is not None:
             self.loop_closer.precompile(self.state)
 

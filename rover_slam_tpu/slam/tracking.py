@@ -1086,9 +1086,15 @@ def _init_coords(rays0, rays1, matches):
 @functools.partial(jax.jit, static_argnames=("n_opt", "n_fixed"))
 def _covis_window(state: ms.MapState, center_kf, n_opt: int, n_fixed: int):
     """Top covisible keyframes of center_kf: first n_opt optimized, next
-    n_fixed fixed (reference: covis-1-ring + fixed anchors)."""
-    W = ms.covisibility(state)
-    ids, wts = ms.best_covisible(W, center_kf, n_opt + n_fixed - 1)
+    n_fixed fixed (reference: covis-1-ring + fixed anchors).
+
+    Only the CENTER keyframe's covisibility row is needed, so this is an
+    O(K*L) matvec on the observation matrix, not the O(K^2*L) full
+    covisibility matmul."""
+    obs = ms.observation_matrix(state)
+    w_row = (obs @ obs[center_kf]).at[center_kf].set(0.0)
+    wts, ids = jax.lax.top_k(w_row, n_opt + n_fixed - 1)
+    ids = jnp.where(wts > 0, ids, -1).astype(jnp.int32)
     window = jnp.concatenate([center_kf[None], ids])
     opt_mask = jnp.arange(n_opt + n_fixed) < n_opt
     # Always keep keyframe 0 fixed if present (gauge anchor, reference fixes
