@@ -47,7 +47,8 @@ def main():
                         min_init_matches=40, min_inliers_local_map=20,
                         kf_tracked_ratio=float(
                             os.environ.get("PROF_KF_RATIO", "0.75")),
-                        ba_iters=int(os.environ.get("PROF_BA_ITERS", "2")))
+                        ba_iters=int(os.environ.get("PROF_BA_ITERS", "2")),
+                        ba_every=int(os.environ.get("PROF_BA_EVERY", "1")))
     # Env knobs for tuning sweeps (defaults = the bench configuration).
     lc_cfg = LoopConfig(
         min_covis_weight=30,

@@ -96,7 +96,7 @@ def main():
     import dataclasses
 
     def run_fused(policy_fs):
-        pol = jnp.asarray([policy_fs, 200.0], jnp.float32)
+        pol = jnp.asarray([policy_fs, 200.0, 0.0], jnp.float32)
         mask = st.lm_active.copy()
         stc = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, st)
         outs = T._track_and_map_kernel(

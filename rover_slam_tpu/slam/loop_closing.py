@@ -103,6 +103,14 @@ class LoopConfig:
     # (maintenance.GBA_LEVELS) — one iteration per frame keeps GBA frames
     # near the ~50 ms tail budget.
     gba_chunk_iters: int = 1
+    # Verification batch: of the n_candidates retrieved, only the top
+    # verify_top by score enter the Sim3 verification program. Measured on
+    # the bench: the true revisit is always rank 1-2, and the per-dispatch
+    # device cost (batched match + vmapped seed RANSAC + guided refine)
+    # scales with the batch — at 4 the in-flight verification pipe lagged
+    # ~10 keyframes behind the detections and a loop found at the sequence
+    # tail only resolved at flush.
+    verify_top: int = 2
     # Keyframes after a fired correction during which no NEW detection is
     # queued (keyframes still enter the database). Mirrors the reference's
     # mLastLoopKFid + 10 re-detection ban (src/LoopClosing.cc:389-394);
@@ -900,7 +908,8 @@ class LoopCloser:
         jax.random.split(key)
         _ = state.kf_map_id[jnp.asarray([0, 0], jnp.int32)]
         B = self.cfg.n_candidates
-        ids = jnp.full((B,), -1, jnp.int32)
+        vB = min(self.cfg.verify_top, B)
+        ids = jnp.full((vB,), -1, jnp.int32)
         s1 = jnp.asarray(1.0, jnp.float32)
         R1 = jnp.eye(3, dtype=jnp.float32)
         t1 = jnp.zeros((3,), jnp.float32)
@@ -913,22 +922,22 @@ class LoopCloser:
                 and hasattr(self.matcher, "match_batch")):
             # Device-index gathers, NOT [0]: the dispatch path uses dynamic
             # indices and a static slice is a different XLA program.
-            jc = jnp.zeros((B,), jnp.int32)
+            jc = jnp.zeros((vB,), jnp.int32)
             q0 = jnp.asarray(0, jnp.int32)
             qk = state.kf_kpts[q0]
             qd = state.kf_desc[q0].astype(jnp.float32)
             qv = state.kf_kpt_valid[q0]
             ext = self.matcher.match_batch(
-                jnp.broadcast_to(qk[None], (B,) + qk.shape),
-                jnp.broadcast_to(qd[None], (B,) + qd.shape),
-                jnp.broadcast_to(qv[None], (B,) + qv.shape),
+                jnp.broadcast_to(qk[None], (vB,) + qk.shape),
+                jnp.broadcast_to(qd[None], (vB,) + qd.shape),
+                jnp.broadcast_to(qv[None], (vB,) + qv.shape),
                 state.kf_kpts[jc], state.kf_desc[jc].astype(jnp.float32),
                 state.kf_kpt_valid[jc])
             outs.append(ext)
         # ids arrive as int64 numpy in the dispatch path — warm that exact
         # convert+device-put program too (round-5 trace caught its 0.34 s
         # compile inside the timed region).
-        outs.append(jnp.asarray(np.full((B,), -1, np.int64), jnp.int32))
+        outs.append(jnp.asarray(np.full((vB,), -1, np.int64), jnp.int32))
         outs.append(_sim3_candidates_kernel(
             state, kf0, ids, self.cam_params, key, self.cfg.cam_kind,
             self.cfg.fix_scale, ext_matches=ext, **self._sim3_kwargs())[0])
@@ -1204,8 +1213,14 @@ class LoopCloser:
         if not keep.any():
             return False
         ids_np = np.where(keep, ids_np, -1)
+        # Verify only the top verify_top candidates by retrieval score (the
+        # detect kernel returns them best-first, but order defensively).
+        vB = min(self.cfg.verify_top, B)
+        order = np.argsort(np.where(ids_np >= 0, -scores_np, np.inf))[:vB]
+        ids_np = ids_np[order]
         self._rng, key = jax.random.split(self._rng)
         ids = jnp.asarray(ids_np, jnp.int32)
+        B = vB
         ext = None
         if (self.cfg.learned_verify_matches and self.matcher is not None
                 and hasattr(self.matcher, "match_batch")):
@@ -1242,15 +1257,30 @@ class LoopCloser:
         Returns (state, info) when the hypothesis fired immediately
         (consistency_needed <= 1), else None. Never blocks."""
         while self._pending_cand and self._hyp is None:
-            kf_id, pack, s_g, R_g, t_g = self._pending_cand[0]
-            try:
-                if hasattr(pack, "is_ready") and not pack.is_ready():
-                    return None
-            except Exception:
-                pass
-            self._pending_cand.popleft()
+            # Freshest-ready-first with stale shedding (same policy as the
+            # detection queue): resolving in FIFO order head-of-line-blocked
+            # on the oldest pack, and at one dispatch per frame the pipeline
+            # lagged ~10 keyframes behind — a loop found near the sequence
+            # tail only resolved at flush. An older dud superseded by a
+            # newer query is stale by construction (retrieval re-fires on a
+            # true revisit every keyframe).
+            ready_i = None
+            for i in range(len(self._pending_cand) - 1, -1, -1):
+                pk = self._pending_cand[i][1]
+                try:
+                    if hasattr(pk, "is_ready") and not pk.is_ready():
+                        continue
+                except Exception:
+                    pass
+                ready_i = i
+                break
+            if ready_i is None:
+                return None
+            kf_id, pack, s_g, R_g, t_g = self._pending_cand[ready_i]
+            for _ in range(ready_i + 1):
+                self._pending_cand.popleft()
             p = np.asarray(pack)
-            B = self.cfg.n_candidates
+            B = min(self.cfg.verify_top, self.cfg.n_candidates)
             ids_np, nm_np = p[:B], p[B:2 * B]
             ok_np, ninl_np = p[2 * B:3 * B], p[3 * B:4 * B]
             best_j, n_proj = int(p[4 * B]), int(p[4 * B + 1])

@@ -184,7 +184,7 @@ class MonocularSLAM:
                 if self._policy is None:
                     self._policy = jnp.asarray(
                         [float(self.frames_since_kf),
-                         float(self.ref_kf_tracked)], jnp.float32)
+                         float(self.ref_kf_tracked), 0.0], jnp.float32)
                 mask = (self._local_mask if self._local_mask is not None
                         else self.state.lm_active.copy())  # .copy(): state
                 # and mask are both donated args; aliasing one buffer into
@@ -621,7 +621,7 @@ class MonocularSLAM:
             jnp.asarray(self.cfg.kf_min_interval, jnp.float32),
             jnp.asarray(self.cfg.kf_max_interval, jnp.float32),
             self.cfg.local_window, self.cfg.fixed_window,
-            self.cfg.ba_iters,
+            self.cfg.ba_iters, ba_every=self.cfg.ba_every,
             local_map_only=self.cfg.local_map_only,
             ext_matches=ext_matches,
             max_depth=jnp.asarray(self.cfg.th_far_points, jnp.float32),
@@ -644,7 +644,7 @@ class MonocularSLAM:
         if self.pipeline and prev is not None and self._fused_mapping_ok():
             state_c = jax.tree.map(
                 lambda x: x.copy() if hasattr(x, "copy") else x, self.state)
-            policy = jnp.asarray([0.0, float(self.ref_kf_tracked)],
+            policy = jnp.asarray([0.0, float(self.ref_kf_tracked), 0.0],
                                  jnp.float32)
             mask = self.state.lm_active.copy()
             prev_lidx = prev.landmark_idx if prev.landmark_idx is not None \

@@ -696,7 +696,7 @@ def _insert_keyframe_kernel(state: ms.MapState, R, t, kpts, rays, desc, valid,
 def _insert_keyframe_body(state: ms.MapState, R, t, kpts, rays, desc, valid,
                           lidx, time, parent, cam_params, cam_kind,
                           n_opt: int, n_fixed: int, ba_iters: int,
-                          run_ba: bool = True,
+                          run_ba: bool = True, ba_gate=None,
                           ext_tri_ids=None, ext_tri_matches=None,
                           kpt_invd=None, bf=None):
     state, kf_id = ms.add_keyframe(state, R, t, kpts, rays, desc, valid, lidx,
@@ -738,8 +738,21 @@ def _insert_keyframe_body(state: ms.MapState, R, t, kpts, rays, desc, valid,
 
     if run_ba:
         window, opt_mask = _covis_window(state, kf_id, n_opt, n_fixed)
-        state = _local_ba_body(state, window, opt_mask, cam_params, cam_kind,
-                               ba_iters, bf=bf)
+        if ba_gate is None:
+            state = _local_ba_body(state, window, opt_mask, cam_params,
+                                   cam_kind, ba_iters, bf=bf)
+        else:
+            # Traced BA gate (ba_every > 1): the windowed BA runs on every
+            # Nth insert — the reference's LocalMapping aborts its LBA under
+            # keyframe-queue pressure the same way (mbAbortBA,
+            # /root/reference/src/LocalMapping.cc:1301); skipped inserts
+            # still triangulate/fuse and the next gated BA covers them
+            # through the covisibility window.
+            state = jax.lax.cond(
+                ba_gate,
+                lambda s: _local_ba_body(s, window, opt_mask, cam_params,
+                                         cam_kind, ba_iters, bf=bf),
+                lambda s: s, state)
 
     # Landmark statistics + culling at keyframe rate (reference
     # IncreaseVisible/IncreaseFound per tracked frame + MapPointCulling in
@@ -802,7 +815,8 @@ def _insert_keyframe_body(state: ms.MapState, R, t, kpts, rays, desc, valid,
                    static_argnames=("cam_kind", "image_hw", "local_map_only",
                                     "motion_rounds", "motion_iters",
                                     "local_rounds", "local_iters",
-                                    "n_opt", "n_fixed", "ba_iters"),
+                                    "n_opt", "n_fixed", "ba_iters",
+                                    "ba_every"),
                    donate_argnums=(0, 1, 2))
 def _track_and_map_kernel(state: ms.MapState, policy, local_mask,
                           prev_desc, prev_valid, prev_lidx,
@@ -818,7 +832,8 @@ def _track_and_map_kernel(state: ms.MapState, policy, local_mask,
                           min_matches_ref_kf=15,
                           motion_rounds: int = 2, motion_iters: int = 5,
                           local_rounds: int = 2, local_iters: int = 6,
-                          cur_invd=None, bf=None, min_inliers_weak=12):
+                          cur_invd=None, bf=None, min_inliers_weak=12,
+                          ba_every: int = 1):
     """ONE fused per-frame program: tracking + ON-DEVICE keyframe decision +
     conditional keyframe insertion (covis, triangulation, fusion, local BA).
 
@@ -862,6 +877,9 @@ def _track_and_map_kernel(state: ms.MapState, policy, local_mask,
     weak = tflags[4] > 0
     n_inl = tflags[1].astype(jnp.float32)
     fs, peak0 = policy[0], policy[1]
+    # Inserts since the last windowed BA (the ba_every gate); a [2] policy
+    # from older callers/checkpoints reads as 0 = BA due now.
+    sba = policy[2] if policy.shape[0] > 2 else jnp.zeros(())
     peak = jnp.maximum(peak0, n_inl)
     c2 = n_inl < kf_tracked_ratio * jnp.maximum(peak, 20.0)
     need = weak | (fs >= kf_max_interval) | ((fs >= kf_min_interval) & c2)
@@ -871,6 +889,8 @@ def _track_and_map_kernel(state: ms.MapState, policy, local_mask,
         (state.n_lm < state.L - 2 * state.N - 64)
     do_insert = (ok | weak) & need & can & (fs >= 1)
 
+    ba_due = (sba + 1.0 >= float(ba_every)) | (ba_every <= 1)
+
     def _ins(op):
         st, mask_prev = op
         st2, scal, mask2 = _insert_keyframe_body(
@@ -878,7 +898,8 @@ def _track_and_map_kernel(state: ms.MapState, policy, local_mask,
             time, parent=jnp.maximum(st.n_kf - 1, 0),
             cam_params=cam_params, cam_kind=cam_kind,
             n_opt=n_opt, n_fixed=n_fixed, ba_iters=ba_iters,
-            run_ba=True, kpt_invd=cur_invd, bf=bf)
+            run_ba=True, ba_gate=(None if ba_every <= 1 else ba_due),
+            kpt_invd=cur_invd, bf=bf)
         li_new = st2.kf_landmark_idx[jnp.clip(scal[0], 0, st2.K - 1)]
         return st2, mask2, li_new
 
@@ -888,9 +909,11 @@ def _track_and_map_kernel(state: ms.MapState, policy, local_mask,
 
     state, local_mask, lm_idx = jax.lax.cond(do_insert, _ins, _no,
                                              (state, local_mask))
+    sba_next = jnp.where(do_insert,
+                         jnp.where(ba_due, 0.0, sba + 1.0), sba)
     policy = jnp.where(do_insert,
-                       jnp.stack([jnp.zeros(()), n_inl]),
-                       jnp.stack([fs + 1.0, peak]))
+                       jnp.stack([jnp.zeros(()), n_inl, sba_next]),
+                       jnp.stack([fs + 1.0, peak, sba_next]))
     flags = jnp.concatenate([
         tflags, jnp.stack([do_insert.astype(jnp.int32),
                            state.n_kf.astype(jnp.int32),
